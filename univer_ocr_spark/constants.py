@@ -1,0 +1,96 @@
+"""Shared constants: alphabet, confusable pairs, extraction thresholds.
+
+The alphabet mirrors the reference's CHARS set (Cyrillic + Latin + digits +
+punctuation, ref: web_app/components/primitives/__init__.py:6-14) minus the
+characters our payload encodings reserve (``< > &`` for HTML, backtick for
+markdown fences, the ESC and BLANK control characters for tool markup).
+
+The confusable (lookalike) pairs re-express the reference's
+``SIMILAR_CHARS`` table of 17 Cyrillic/Latin pairs
+(ref: web_app/components/primitives/__init__.py:16-42) used by its CTC-style
+collapse (ref: web_app/components/interpreter/interpreter.py:595-614).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+GLOBAL_SEED = 42
+
+# Reserved / structural characters (never appear in generated content text).
+ESC = "\x1b"
+BLANK = "␀"  # SYMBOL FOR NULL — the CTC-style blank sentinel (emits
+# nothing, resets collapse state; ref: interpreter.py:606-608 char id 0).
+
+_CYR_LOWER = "абвгдежзийклмнопрстуфхцчшщъыьэюя"
+_CYR_UPPER = _CYR_LOWER.upper()
+_LAT_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_LAT_UPPER = _LAT_LOWER.upper()
+_DIGITS = "0123456789"
+# Punctuation without < > & ` " ' \ (reserved for payload structure).
+_PUNCT = "!#$%()*+,-./:;=?@[]^_{|}~"
+
+ALPHABET = _LAT_LOWER + _LAT_UPPER + _CYR_LOWER + _CYR_UPPER + _DIGITS + _PUNCT
+
+# 17 Cyrillic/Latin lookalike pairs (ref: primitives/__init__.py:16-42).
+SIMILAR_PAIRS: tuple[tuple[str, str], ...] = (
+    ("а", "a"), ("е", "e"), ("о", "o"), ("р", "p"), ("с", "c"),
+    ("у", "y"), ("х", "x"),
+    ("А", "A"), ("В", "B"), ("Е", "E"), ("К", "K"), ("М", "M"),
+    ("Н", "H"), ("О", "O"), ("Р", "P"), ("С", "C"), ("Т", "T"),
+)
+
+_SIMILAR_SET = frozenset(SIMILAR_PAIRS) | frozenset((b, a) for a, b in SIMILAR_PAIRS)
+# partner lookup: char -> its confusable twin
+CONFUSABLE_OF = {a: b for a, b in SIMILAR_PAIRS}
+CONFUSABLE_OF.update({b: a for a, b in SIMILAR_PAIRS})
+
+
+def are_similar(c1: str, c2: str) -> bool:
+    """Lookalike predicate over the confusable pairs.
+
+    Unlike the reference (which also collapses *identical* consecutive
+    chars, CTC-style), we collapse only *distinct* lookalikes — identical
+    repeats in transcript text are genuine content, not OCR stutter.
+    """
+    return (c1, c2) in _SIMILAR_SET
+
+
+# ---------------------------------------------------------------- HTML ----
+# Tags whose entire subtree is boilerplate by construction (analog of the
+# reference's letter-spacing veto P4 / background pixels).
+HTML_DROP_TAGS = frozenset(
+    {"script", "style", "title", "head", "nav", "aside", "footer", "header"}
+)
+# Block-level container tags: one extraction "unit" per innermost open block
+# (analog of connected-component labeling A1, interpreter.py:16-21).
+HTML_BLOCK_TAGS = frozenset(
+    {"p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "pre", "div",
+     "td", "blockquote"}
+)
+# A block is main-content iff link_chars / total_chars <= 0.4
+# (Boilerpipe/Readability-style link-density heuristic). Expressed in
+# integers to stay exact: 10 * link_chars <= 4 * total_chars.
+HTML_LINK_DENSITY_NUM = 4
+HTML_LINK_DENSITY_DEN = 10
+
+# -------------------------------------------------------------- PDF-ish ---
+PDFISH_MAGIC = "%PDFISH"
+# Lines whose vertical band center falls in the top/bottom 10% of the page
+# are header/footer boilerplate (integer rule: 10*cy < h  or  10*cy > 9*h).
+PDFISH_MARGIN_NUM = 1
+PDFISH_MARGIN_DEN = 10
+# A space is inserted between consecutive glyphs when the x-gap is at least
+# half the previous glyph's width (integer rule: 2*gap >= prev_w, gap >= 1).
+PDFISH_SPACE_NUM = 1
+PDFISH_SPACE_DEN = 2
+
+
+def turn_seed(conv_id: str, turn_idx: int, global_seed: int = GLOBAL_SEED) -> int:
+    """Deterministic per-turn seed, independent of process/hash-seed/partitioning.
+
+    The reference uses unseeded ``random`` (generate.py:129-130); we fix that
+    per FIXTURES.md with seed = f(global_seed, conv_id, turn_idx).
+    """
+    key = f"{global_seed}|{conv_id}|{turn_idx}".encode("utf-8")
+    return int.from_bytes(hashlib.blake2b(key, digest_size=8).digest(), "big")

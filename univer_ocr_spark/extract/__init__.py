@@ -1,0 +1,47 @@
+"""Pure-Python oracle extractor (single-threaded reference implementation).
+
+Analog of the reference's ``interpret()`` — the zero-ML decoder that turns
+ground-truth layers into ordered text
+(ref: web_app/components/interpreter/interpreter.py:110-171). The Spark
+pipeline must match this oracle byte-for-byte per turn under stable
+``(conv_id, turn_idx)`` ordering; pytest enforces it against the generator's
+by-construction goldens.
+
+The same pure functions are reused *inside* the Spark ``mapInPandas`` stage —
+one implementation, two harnesses (like the reference sharing its interpreter
+between the web oracle route and the model pipeline, ref: views/main.py:88-99
+vs my_model/model.py:552-656).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from univer_ocr_spark.constants import PDFISH_MAGIC
+from univer_ocr_spark.extract.html_extract import extract_html
+from univer_ocr_spark.extract.markup_extract import extract_markup
+from univer_ocr_spark.extract.pdfish_extract import extract_pdfish
+from univer_ocr_spark.spans import Span
+
+
+def sniff(payload: str) -> str:
+    """Classify the payload archetype (analog of the Monochrome stage's
+    role as the first payload normalizer, ref: my_model/model.py:489-499)."""
+    if payload.startswith(PDFISH_MAGIC + " "):
+        return "pdfish"
+    head = payload.lstrip()[:64].lower()
+    if head.startswith("<!doctype html") or head.startswith("<html"):
+        return "html"
+    return "toolmarkup"
+
+
+def extract_payload(payload: str) -> Tuple[str, List[Span], str]:
+    """Dispatch on archetype; return (extracted_text, spans, kind)."""
+    kind = sniff(payload)
+    if kind == "html":
+        text, spans = extract_html(payload)
+    elif kind == "pdfish":
+        text, spans = extract_pdfish(payload)
+    else:
+        text, spans = extract_markup(payload)
+    return text, spans, kind

@@ -1,0 +1,109 @@
+"""HTML main-content extraction: tag-stack traversal + link-density scoring.
+
+Re-expresses the reference's mask pipeline relationally:
+- tag-stack DOM traversal with drop-subtrees  ≈ the letter-spacing veto /
+  background masking (ref: interpreter.py:115-120);
+- grouping text nodes into innermost block elements ≈ connected-component
+  labeling of paragraphs (ref: interpreter.py:16-21);
+- link-density threshold ≈ the mean-threshold binarization predicate
+  (ref: interpreter.py:17), here Boilerpipe/Readability-style.
+
+Deterministic, integer-arithmetic only. Operates on the generated HTML
+dialect: no entities, no ``<`` inside attribute values or raw-text elements.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+from univer_ocr_spark.constants import (
+    HTML_BLOCK_TAGS,
+    HTML_DROP_TAGS,
+    HTML_LINK_DENSITY_DEN,
+    HTML_LINK_DENSITY_NUM,
+)
+from univer_ocr_spark.spans import Span
+
+_TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>]*>")
+_VOID_TAGS = frozenset({"br", "hr", "img", "meta", "link", "input"})
+
+# Extractor-side block record: (tag, nodes) with nodes = [(start, end, in_link)]
+ExtractorBlock = Tuple[str, bool, List[Tuple[int, int, bool]]]
+
+
+def parse_blocks(payload: str) -> List[ExtractorBlock]:
+    """Single pass over tags; return all blocks in document-open order with
+    their text nodes and a main/boilerplate classification."""
+    stack: List[str] = []
+    drop_depth = 0
+    link_depth = 0
+    open_blocks: List[int] = []  # indices into `blocks`
+    blocks: List[List] = []  # [tag, nodes]
+    pos = 0
+
+    def handle_text(start: int, end: int) -> None:
+        if drop_depth > 0 or not open_blocks:
+            return
+        if payload[start:end].strip() == "":
+            return
+        blocks[open_blocks[-1]][1].append((start, end, link_depth > 0))
+
+    for m in _TAG_RE.finditer(payload):
+        if m.start() > pos:
+            handle_text(pos, m.start())
+        pos = m.end()
+        closing, name = m.group(1) == "/", m.group(2).lower()
+        if name in _VOID_TAGS:
+            continue
+        if closing:
+            # tolerant pop to the matching open tag
+            while stack:
+                top = stack.pop()
+                if top in HTML_DROP_TAGS:
+                    drop_depth -= 1
+                if top == "a":
+                    link_depth -= 1
+                if top in HTML_BLOCK_TAGS and open_blocks:
+                    open_blocks.pop()
+                if top == name:
+                    break
+        else:
+            stack.append(name)
+            if name in HTML_DROP_TAGS:
+                drop_depth += 1
+            if name == "a":
+                link_depth += 1
+            if name in HTML_BLOCK_TAGS:
+                open_blocks.append(len(blocks))
+                blocks.append([name, []])
+
+    if pos < len(payload):  # trailing text after the last tag (malformed doc)
+        handle_text(pos, len(payload))
+
+    out: List[ExtractorBlock] = []
+    for tag, nodes in blocks:
+        total = sum(e - s for s, e, _ in nodes)
+        link = sum(e - s for s, e, in_link in nodes if in_link)
+        is_main = total > 0 and (
+            HTML_LINK_DENSITY_DEN * link <= HTML_LINK_DENSITY_NUM * total
+        )
+        out.append((tag, is_main, nodes))
+    return out
+
+
+def extract_html(payload: str) -> Tuple[str, List[Span]]:
+    """Return (extracted_text, spans) for the main-content blocks."""
+    spans: List[Span] = []
+    unit_texts: List[str] = []
+    unit = 0
+    for _tag, is_main, nodes in parse_blocks(payload):
+        if not is_main:
+            continue
+        parts = []
+        for s, e, _ in nodes:
+            spans.append((unit, s, e))
+            parts.append(payload[s:e])
+        unit_texts.append("".join(parts))
+        unit += 1
+    return "\n".join(unit_texts), spans

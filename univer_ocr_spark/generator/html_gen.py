@@ -1,0 +1,191 @@
+"""HTML payload generator with by-construction goldens.
+
+Analog of the reference's paragraph placement (overlap-free layout with
+ground-truth masks, ref: web_app/components/image_generator/generate.py:103-189):
+main-content blocks (high text density) are interleaved with boilerplate
+blocks (nav/aside/footer subtrees or link-farms with high link density), and
+the generator records each kept text node's exact char span while
+serializing.
+
+Generated text never contains ``< > &`` (constants.ALPHABET excludes them),
+so text nodes are verbatim payload slices — no entity decoding needed.
+"""
+
+from __future__ import annotations
+
+from random import Random
+from typing import List, Tuple
+
+from univer_ocr_spark.constants import (
+    HTML_LINK_DENSITY_DEN,
+    HTML_LINK_DENSITY_NUM,
+)
+from univer_ocr_spark.generator.words import ascii_word, sentence, word
+from univer_ocr_spark.spans import Span
+
+Block = Tuple[int, int, str, bool, int, int]  # (block_id, line_id, kind, is_main, start, end)
+
+
+def _add_span(spans: List[Span], unit: int, start: int, end: int) -> None:
+    """Append, merging with the previous span when contiguous in the payload
+    (matches the extractor's maximal text nodes)."""
+    if spans and spans[-1][0] == unit and spans[-1][2] == start:
+        spans[-1] = (unit, spans[-1][1], end)
+    else:
+        spans.append((unit, start, end))
+
+
+class _Builder:
+    __slots__ = ("parts", "pos")
+
+    def __init__(self) -> None:
+        self.parts: List[str] = []
+        self.pos = 0
+
+    def add(self, s: str) -> int:
+        """Append and return the start offset of ``s``."""
+        start = self.pos
+        self.parts.append(s)
+        self.pos += len(s)
+        return start
+
+    def text(self) -> str:
+        return "".join(self.parts)
+
+
+def _main_block(b: _Builder, rng: Random, tag: str, spans: List[Span], unit: int) -> Tuple[str, int, int]:
+    """Emit one main-content block; return (golden_text, start, end)."""
+    open_tag = f"<ul><li>" if tag == "li" else f"<{tag}>"
+    close_tag = "</li></ul>" if tag == "li" else f"</{tag}>"
+    b.add(open_tag)
+    block_start = b.pos
+
+    # Content: 1-3 text runs, optionally decorated with inline tags; at most
+    # one short link, kept under the link-density threshold by construction.
+    n_runs = rng.randint(1, 3)
+    texts: List[Tuple[str, bool]] = []  # (text, in_link)
+    for i in range(n_runs):
+        t = sentence(rng)
+        if i > 0:
+            t = " " + t
+        texts.append((t, False))
+    total = sum(len(t) for t, _ in texts)
+    # Maybe insert a short inline link between runs (still main if density ok).
+    link_text = None
+    if rng.random() < 0.35:
+        link_text = word(rng, 2, 4)
+        # keep strictly under threshold: 10*link <= 4*(total+link+2)
+        if HTML_LINK_DENSITY_DEN * len(link_text) > HTML_LINK_DENSITY_NUM * (
+            total + len(link_text) + 2
+        ):
+            link_text = None
+
+    golden_parts: List[str] = []
+    for i, (t, _) in enumerate(texts):
+        start = b.add(t)
+        _add_span(spans, unit, start, start + len(t))
+        golden_parts.append(t)
+        if i == 0 and link_text is not None:
+            b.add(" ")
+            _add_span(spans, unit, b.pos - 1, b.pos)
+            golden_parts.append(" ")
+            b.add(f'<a href="#{ascii_word(rng)}">')
+            lstart = b.add(link_text)
+            _add_span(spans, unit, lstart, lstart + len(link_text))
+            golden_parts.append(link_text)
+            b.add("</a>")
+        elif rng.random() < 0.3:
+            deco = rng.choice(("b", "i", "code"))
+            b.add(f"<{deco}>")
+            t2 = " " + word(rng)
+            dstart = b.add(t2)
+            _add_span(spans, unit, dstart, dstart + len(t2))
+            golden_parts.append(t2)
+            b.add(f"</{deco}>")
+    block_end = b.pos
+    b.add(close_tag)
+    return "".join(golden_parts), block_start, block_end
+
+
+def _nav_block(b: _Builder, rng: Random) -> Tuple[int, int]:
+    b.add("<nav><ul>")
+    start = b.pos
+    for _ in range(rng.randint(2, 5)):
+        b.add(f'<li><a href="/{ascii_word(rng)}">{word(rng)}</a></li>')
+    end = b.pos
+    b.add("</ul></nav>")
+    return start, end
+
+
+def _linkfarm_block(b: _Builder, rng: Random) -> Tuple[int, int]:
+    """A <div> whose link density is above threshold by construction."""
+    b.add("<div>")
+    start = b.pos
+    plain = word(rng, 2, 4)
+    b.add(plain + " ")
+    link_chars = 0
+    total = len(plain) + 1
+    # add links until 10*link > 4*total with margin
+    while HTML_LINK_DENSITY_DEN * link_chars <= (HTML_LINK_DENSITY_NUM + 2) * total:
+        lt = word(rng, 4, 10)
+        b.add(f'<a href="/{ascii_word(rng)}">{lt}</a> ')
+        link_chars += len(lt)
+        total += len(lt) + 1
+    end = b.pos
+    b.add("</div>")
+    return start, end
+
+
+def _wrapped_boiler(b: _Builder, rng: Random, tag: str) -> Tuple[int, int]:
+    b.add(f"<{tag}>")
+    start = b.pos
+    b.add(f"<p>{sentence(rng)}</p>")
+    end = b.pos
+    b.add(f"</{tag}>")
+    return start, end
+
+
+def generate_html(rng: Random) -> Tuple[str, str, List[Span], List[Block]]:
+    """Return (payload, gold_text, gold_spans, gold_blocks)."""
+    b = _Builder()
+    spans: List[Span] = []
+    blocks: List[Block] = []
+    gold_units: List[str] = []
+
+    b.add(
+        f"<html><head><title>{word(rng)}</title>"
+        f"<style>body{{margin:0;color:#{rng.randint(0, 9)}{rng.randint(0, 9)}{rng.randint(0, 9)}}}</style>"
+        f"<script>var {ascii_word(rng)}={rng.randint(0, 99)};</script></head><body>"
+    )
+
+    # Plan: 2-6 main blocks + 1-4 boilerplate blocks, interleaved.
+    n_main = rng.randint(2, 6)
+    n_boiler = rng.randint(1, 4)
+    plan = ["main"] * n_main + ["boiler"] * n_boiler
+    rng.shuffle(plan)
+
+    main_tags = ("p", "p", "h1", "h2", "li", "pre")
+    boiler_kinds = ("nav", "linkfarm", "footer", "aside", "header")
+    block_id = 0
+    unit = 0
+    for item in plan:
+        b.add("\n")
+        if item == "main":
+            tag = rng.choice(main_tags)
+            text, s, e = _main_block(b, rng, tag, spans, unit)
+            gold_units.append(text)
+            blocks.append((block_id, 0, tag, True, s, e))
+            unit += 1
+        else:
+            kind = rng.choice(boiler_kinds)
+            if kind == "nav":
+                s, e = _nav_block(b, rng)
+            elif kind == "linkfarm":
+                s, e = _linkfarm_block(b, rng)
+            else:
+                s, e = _wrapped_boiler(b, rng, kind)
+            blocks.append((block_id, 0, kind, False, s, e))
+        block_id += 1
+
+    b.add("\n</body></html>")
+    return b.text(), "\n".join(gold_units), spans, blocks
