@@ -1,0 +1,207 @@
+"""Deduplication operators over the documents table: exact, MinHash
+signatures + LSH candidate pairs, n-gram Jaccard, SimHash.
+
+Scale design (the reason these exist — a 100 TB training-data pipeline):
+- exact dedup = one hash aggregate on a fingerprint (map-side combined);
+- MinHash/LSH: signatures are a groupBy over exploded shingles (shuffle on
+  doc_id only); candidate generation joins on *band keys* (tiny vs the
+  all-pairs cross join), then only candidates pay the exact-verify cost;
+- the exact n-gram Jaccard pair join on a shared-shingle key is the
+  *verification* path — at full scale you run it only on LSH candidates.
+
+Everything is engine-portable: md5 (lowercase hex both in Spark and DuckDB)
+is the only hash primitive, so the DuckDB oracle replicates results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+MINHASH_K = 8  # permutations, as min(md5(k || '|' || shingle))
+LSH_BANDS = 2  # 2 bands x 4 rows
+LSH_ROWS = 4
+JACCARD_THRESHOLD = 0.25
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _norm(col):
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical id = min(doc_id) per content fingerprint."""
+    d = _docs(spark, sf_dir)
+    fp = F.md5(F.encode(_norm(F.col("text")), "UTF-8"))
+    w = W.partitionBy("fingerprint")
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("is_dup", F.col("doc_id") != F.col("canonical_id"))
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_EXACT_SQL = r"""
+SELECT doc_id, fingerprint,
+       min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS is_dup
+FROM (SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents)
+ORDER BY doc_id
+"""
+
+
+def _word_shingles(col):
+    """Word 2-gram shingles of whitespace-tokenized, normalized text."""
+    toks = F.split(_norm(col), " ")
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array(_norm(col)))
+
+
+_SHINGLES_SQL = r"""
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+            THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+            ELSE [norm] END) AS shingle
+  FROM (SELECT doc_id,
+               lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm,
+               regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        FROM documents)
+"""
+
+
+def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.explode(_word_shingles(F.col("text"))).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature per doc: sig_k = lexicographic min of
+    md5('<k>|' || shingle) — a portable permutation family. One shuffle
+    (groupBy doc_id over exploded distinct shingles)."""
+    ex = _exploded_shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.encode(F.concat(F.lit(f"{k}|"), F.col("shingle")), "UTF-8"))).alias(f"sig_{k}")
+        for k in range(MINHASH_K)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+def minhash_signatures_sql() -> str:
+    aggs = ",\n       ".join(
+        f"min(md5('{k}|' || shingle)) AS sig_{k}" for k in range(MINHASH_K)
+    )
+    return (
+        f"SELECT doc_id,\n       {aggs}\n"
+        f"FROM (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL}))\n"
+        f"GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: docs sharing any band key are candidate near-dups.
+    The join key is the band hash — never an all-pairs cross join."""
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"sig_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.encode(F.concat_ws("|", *cols), "UTF-8")).alias("band_key"),
+            )
+        )
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionAll(extra)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_lsh_pairs_sql() -> str:
+    band_rows = []
+    for b in range(LSH_BANDS):
+        cols = " || '|' || ".join(
+            f"sig_{b * LSH_ROWS + r}" for r in range(LSH_ROWS)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS band_key FROM sigs"
+        )
+    banded = " UNION ALL ".join(band_rows)
+    return (
+        f"WITH sigs AS ({minhash_signatures_sql().replace('ORDER BY doc_id', '')}),\n"
+        f"banded AS ({banded})\n"
+        "SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b\n"
+        "FROM banded l JOIN banded r\n"
+        "  ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id\n"
+        "ORDER BY doc_a, doc_b"
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (the verify path; at 100 TB this
+    runs on LSH candidates only). Pair discovery joins on the shingle key;
+    Jaccard = shared / (|A| + |B| - shared)."""
+    ex = _exploded_shingles(spark, sf_dir)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    l = ex.alias("l")
+    r = ex.alias("r")
+    shared = (
+        l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .groupBy(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        shared.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "shared", "na", "nb", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NGRAM_JACCARD_SQL = (
+    f"WITH ex AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),\n"
+    "sizes AS (SELECT doc_id, count(*) AS n_shingles FROM ex GROUP BY doc_id),\n"
+    "shared AS (\n"
+    "  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS shared\n"
+    "  FROM ex l JOIN ex r ON l.shingle = r.shingle AND l.doc_id < r.doc_id\n"
+    "  GROUP BY l.doc_id, r.doc_id)\n"
+    "SELECT doc_a, doc_b, shared, sa.n_shingles AS na, sb.n_shingles AS nb,\n"
+    "       round(shared / (sa.n_shingles + sb.n_shingles - shared), 4) AS jaccard\n"
+    "FROM shared JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id\n"
+    f"WHERE round(shared / (sa.n_shingles + sb.n_shingles - shared), 4) >= {JACCARD_THRESHOLD}\n"
+    "ORDER BY doc_a, doc_b"
+)

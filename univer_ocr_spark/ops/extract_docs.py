@@ -1,0 +1,136 @@
+"""Extraction-by-construction queries over the documents table.
+
+These run the REAL extraction pipeline on payloads synthesized from
+``documents.text``, and their DuckDB oracles state the *expected output by
+construction* (the document text back, suitably normalized) — the same
+golden-by-construction idea the reference's generator embodies
+(ref: generate.py:103-224): the oracle doesn't re-implement extraction, it
+knows what the answer must be because we built the payload.
+
+This is how the driver's CORRECTNESS gate exercises the actual mapInPandas
+extraction stage against an independent expectation.
+"""
+
+from __future__ import annotations
+
+from random import Random
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from univer_ocr_spark.spark.pipeline import extract_stage
+
+_SANITIZE_SQL = "replace(replace(replace(text, '&', '+'), '<', '('), '>', ')')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _sanitize(col):
+    return F.replace(
+        F.replace(F.replace(col, F.lit("&"), F.lit("+")), F.lit("<"), F.lit("(")),
+        F.lit(">"),
+        F.lit(")"),
+    )
+
+
+def extract_html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap each doc in boilerplate-laden HTML (JVM-side concat), run the
+    real extraction stage, return the main content. Expected = sanitized
+    text (nav/footer stripped, <p> kept)."""
+    d = _docs(spark, sf_dir)
+    payload = F.concat(
+        F.lit(
+            '<html><head><title>doc</title><style>p{margin:0}</style></head><body>'
+            '<nav><ul><li><a href="/home">home</a></li><li><a href="/about">about</a></li></ul></nav><p>'
+        ),
+        _sanitize(F.col("text")),
+        F.lit('</p><footer><a href="/tos">terms</a> (c) example</footer></body></html>'),
+    )
+    wrapped = d.select("doc_id", payload.alias("text"))
+    return (
+        extract_stage(wrapped)
+        .select("doc_id", "extracted_text")
+        .orderBy("doc_id")
+    )
+
+
+EXTRACT_HTML_DOCS_SQL = f"""
+SELECT doc_id, {_SANITIZE_SQL} AS extracted_text
+FROM documents ORDER BY doc_id
+"""
+
+
+def extract_markup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap each doc in an ANSI status line + markdown fences, run the real
+    extraction stage. Expected = text with newlines flattened (content is
+    ASCII → no confusable collapse fires)."""
+    d = _docs(spark, sf_dir)
+    flat = F.replace(F.col("text"), F.lit("\n"), F.lit(" "))
+    payload = F.concat(
+        F.lit("\x1b[2K\x1b[32m[ok] fetch done\x1b[0m\n```\n"),
+        flat,
+        F.lit("\n```\n\x1b[2K[exit 0]"),
+    )
+    wrapped = d.select("doc_id", payload.alias("text"))
+    return (
+        extract_stage(wrapped)
+        .select("doc_id", "extracted_text")
+        .orderBy("doc_id")
+    )
+
+
+EXTRACT_MARKUP_DOCS_SQL = """
+SELECT doc_id, replace(text, chr(10), ' ') AS extracted_text
+FROM documents ORDER BY doc_id
+"""
+
+
+def _pdfish_payload(doc_id: int, text: str) -> str:
+    """Lay the doc's words out as one glyph line (y=400, safe band), records
+    shuffled deterministically by doc_id — the extractor must re-sort."""
+    words = text.split()
+    recs = []
+    x = 40
+    for wi, w in enumerate(words):
+        for ch in w:
+            recs.append(f"g {ch} {x} 400 8 10")
+            x += 8
+        x += 8
+    Random(doc_id).shuffle(recs)
+    return "%PDFISH 612 792\n" + "\n".join(recs) + ("\n" if recs else "")
+
+
+def extract_pdfish_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode each doc as a shuffled glyph stream, run the real extraction
+    stage (y-cluster → x-sort → word-gap spacing). Expected = whitespace-
+    normalized text."""
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def wrap(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "text": [
+                        _pdfish_payload(int(i), t)
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    wrapped = d.mapInPandas(wrap, schema="doc_id long, text string")
+    return (
+        extract_stage(wrapped)
+        .select("doc_id", "extracted_text")
+        .orderBy("doc_id")
+    )
+
+
+EXTRACT_PDFISH_DOCS_SQL = r"""
+SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS extracted_text
+FROM documents ORDER BY doc_id
+"""

@@ -1,0 +1,259 @@
+"""Relational operator demonstrations over the TPC-H-ish tables.
+
+These map the reference's aggregate/sort/match inventory onto Catalyst-native
+plans (SURVEY.md §2.4-2.5): group-by aggregates (A7/A10), top-k ordering
+(O3/O6), nearest/containment joins (J1-J3 analogs), and gap-based
+sessionization — the relational twin of the PDF y-interval merge (A6,
+ref: interpreter.py:494-502).
+
+Scale notes per query are in the docstrings; dimension joins broadcast
+explicitly, aggregates rely on map-side partials, and every output is
+deterministically ordered with explicit tie-breakers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 flavor: one wide hash aggregate, map-side combined; scans
+    only the 7 needed columns (column pruning to the parquet reader)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact lineitem⋈orders shuffles on the key; customer /
+    nation / region dimensions are broadcast (no shuffle for the small
+    sides — at 100 TB the dims stay MB-scale, so this holds)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q_REVENUE_BY_NATION_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 parts by revenue (min-by/top-k, O3/A8 analog). Aggregate
+    first, then a tiny global sort of the aggregated set — never a global
+    sort of the fact table. Deterministic tie-break on p_partkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select(F.col("p_partkey"), F.col("p_name"), F.col("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+Q_TOPK_PARTS_SQL = """
+SELECT p_partkey, p_name, revenue
+FROM (
+  SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY l_partkey
+) agg
+JOIN part ON l_partkey = p_partkey
+ORDER BY revenue DESC, p_partkey ASC
+LIMIT 10
+"""
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS semi-join (the relational form of the reference's
+    paragraph-mask semi-join J4, interpreter.py:303-308)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: lag + gap-flag + running sum — the
+    relational restatement of y-interval merging into lines (A6,
+    ref: interpreter.py:494-502; SURVEY.md §2.4). Gap > 1800s starts a new
+    session. Shuffles once on user_id; windows run within partitions."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(F.col("prev_ts").cast("timestamp")) > 1800 * 1_000_000),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("session_id", F.sum("new_sess").over(
+            w.rowsBetween(W.unboundedPreceding, 0)))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM flagged GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (prefix) sum per user — the frame-spec window W1 analog
+    (ref: convolutional.py:330-373 sliding windows → Window.rowsBetween)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "running_value",
+            F.round(F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)), 4),
+        )
+        .select("user_id", "event_id", "rn", "running_value")
+        .orderBy("user_id", "rn")
+    )
+
+
+Q_RUNNING_SQL = """
+SELECT user_id, event_id,
+       row_number() OVER w AS rn,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, rn
+"""
+
+
+def q_nearest_event_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor matching as a relational plan — direct analog of the
+    reference's nearest-centroid line pairing (J1/J2, interpreter.py:24-53):
+    for each 'click' event, the nearest-in-time earlier 'view' by the same
+    user. Implemented as a time-window rank-1 join (broadcast-less, shuffles
+    both sides once on user_id)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    joined = clicks.join(
+        views,
+        (clicks.user_id == views.v_user_id) & (views.view_ts <= clicks.click_ts),
+        "inner",
+    )
+    w = W.partitionBy("click_id").orderBy(F.desc("view_ts"), F.desc("view_id"))
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "click_id", "view_id",
+                (F.unix_micros(F.col("click_ts").cast("timestamp")) - F.unix_micros(F.col("view_ts").cast("timestamp"))).alias("lag_usec"))
+        .orderBy("user_id", "click_id")
+    )
+
+
+Q_NEAREST_SQL = """
+SELECT user_id, click_id, view_id, lag_usec FROM (
+  SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+         epoch_us(c.ts) - epoch_us(v.ts) AS lag_usec,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY v.ts DESC, v.event_id DESC) AS rk
+  FROM events c JOIN events v
+    ON c.user_id = v.user_id AND v.ts <= c.ts
+   AND c.event_type = 'click' AND v.event_type = 'view'
+) t WHERE rk = 1
+ORDER BY user_id, click_id
+"""

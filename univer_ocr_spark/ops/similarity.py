@@ -1,0 +1,179 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+- Brute-force cosine top-k: the exactness baseline. The query side is tiny
+  and broadcast; the candidate scan is embarrassingly parallel; the only
+  shuffle is the per-query top-k (rank window over a pre-filtered candidate
+  set). At 100 TB the same plan holds: broadcast queries, scan candidates,
+  local partial top-k then global merge.
+- Coordinate-sign LSH: deterministic 8-bit bucket from the sign pattern of
+  the first 8 dimensions — a portable LSH family (both engines compute it
+  bit-identically, unlike random-hyperplane families which need shipped
+  float matrices). Candidates = same bucket; exact cosine only on those.
+
+The dot products run JVM-side via ``zip_with``/``aggregate`` higher-order
+functions in doubles — deterministic left-fold order, so the DuckDB oracle
+(same fold order) matches bit-for-bit before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+N_QUERIES = 10  # vec_id < 10 are queries; the rest are candidates
+TOP_K = 5
+LSH_BITS = 8
+LSH_TOP_K = 3
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k per query vector (tie-break: candidate id)."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    cos = (
+        _dot("q_emb", "c_emb")
+        / F.sqrt(_dot("q_emb", "q_emb"))
+        / F.sqrt(_dot("c_emb", "c_emb"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "rank", F.round("cos", 4).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_BRUTEFORCE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS c_emb
+      FROM embeddings WHERE vec_id >= {N_QUERIES}),
+scored AS (
+  SELECT query_id, cand_id,
+         list_dot_product(q_emb, c_emb)
+           / sqrt(list_dot_product(q_emb, q_emb))
+           / sqrt(list_dot_product(c_emb, c_emb)) AS cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_dot_product(q_emb, c_emb)
+                                     / sqrt(list_dot_product(q_emb, q_emb))
+                                     / sqrt(list_dot_product(c_emb, c_emb)) DESC,
+                                     cand_id ASC) AS rank
+  FROM c CROSS JOIN q)
+SELECT query_id, cand_id, rank, round(cos, 4) AS cosine
+FROM scored WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def _sign_bucket(emb_col: str):
+    bucket = F.lit(0)
+    for j in range(LSH_BITS):
+        bucket = bucket + F.when(
+            F.element_at(F.col(emb_col), j + 1) > 0, F.lit(2 ** j)
+        ).otherwise(F.lit(0))
+    return bucket
+
+
+def _sign_bucket_sql(col: str) -> str:
+    return "CAST(" + " + ".join(
+        f"(CASE WHEN {col}[{j + 1}] > 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(LSH_BITS)
+    ) + " AS BIGINT)"
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: equi-join on the sign bucket (the scale path —
+    bucket join instead of cross join), exact cosine within bucket."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _sign_bucket("embedding").cast("long").alias("bucket"),
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        _sign_bucket("embedding").cast("long").alias("bucket"),
+    )
+    cos = (
+        _dot("q_emb", "c_emb")
+        / F.sqrt(_dot("q_emb", "q_emb"))
+        / F.sqrt(_dot("c_emb", "c_emb"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        c.join(F.broadcast(q), "bucket")
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= LSH_TOP_K)
+        .select("query_id", "cand_id", "bucket", "rank", F.round("cos", 4).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_LSH_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb,
+                  {_sign_bucket_sql('embedding')} AS bucket
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS c_emb,
+             {_sign_bucket_sql('embedding')} AS bucket
+      FROM embeddings WHERE vec_id >= {N_QUERIES}),
+scored AS (
+  SELECT query_id, cand_id, c.bucket AS bucket,
+         list_dot_product(q_emb, c_emb)
+           / sqrt(list_dot_product(q_emb, q_emb))
+           / sqrt(list_dot_product(c_emb, c_emb)) AS cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_dot_product(q_emb, c_emb)
+                                     / sqrt(list_dot_product(q_emb, q_emb))
+                                     / sqrt(list_dot_product(c_emb, c_emb)) DESC,
+                                     cand_id ASC) AS rank
+  FROM c JOIN q ON c.bucket = q.bucket)
+SELECT query_id, cand_id, bucket, rank, round(cos, 4) AS cosine
+FROM scored WHERE rank <= {LSH_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (one k-means step's reduce side): posexplode +
+    two-level groupBy — dimension-parallel, no driver-side vectors."""
+    e = _emb(spark, sf_dir)
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 4).alias("centroid_v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+CENTROIDS_SQL = """
+SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid_v,
+       count(*) AS n
+FROM embeddings CROSS JOIN range(1, 513) t(i)
+WHERE i <= len(embedding)
+GROUP BY label, i
+ORDER BY label, pos
+"""

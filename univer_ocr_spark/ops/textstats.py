@@ -1,0 +1,153 @@
+"""Text-analysis operators over the documents table — language-ID heuristic,
+quality scoring, token counting, fingerprinting. All JVM-side built-ins
+(whole-stage codegen; no Python in the hot path). Each has an exact DuckDB
+oracle twin in __spark_entry__.
+
+These are the training-data-pipeline operators the 100 TB engine needs
+(mission brief) — the per-doc scalar functions play the role of the
+reference's encode/metric helpers (F1/F2/F7/F8,
+ref: web_app/components/primitives/__init__.py:57-64, nn/losses.py:9-73).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "a", "for"),
+    "es": ("de", "la", "el", "en", "y", "que", "los", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "que"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "zu"),
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens(col):
+    return F.split(F.trim(col), r"\s+")
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char counting (whitespace tokenization)."""
+    d = _docs(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("len_chars"),
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(toks)).cast("long")
+        .alias("n_tokens"),
+        F.length(F.regexp_replace("text", r"\s+", "")).cast("long").alias("n_nonspace_chars"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+    ).orderBy("doc_id")
+
+
+DOC_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       length(text) AS len_chars,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+       length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace_chars,
+       len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_lang_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-free language ID: stopword-hit voting with a deterministic
+    tie-break order (en > es > fr > de > und)."""
+    d = _docs(spark, sf_dir)
+    toks = _tokens(F.lower(F.col("text")))
+    cols = {
+        lang: F.size(F.filter(toks, lambda x: x.isin(*words))).cast("long").alias(f"hits_{lang}")
+        for lang, words in STOPWORDS.items()
+    }
+    scored = d.select("doc_id", "lang", *cols.values())
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in STOPWORDS])
+    guess = F.when(best == 0, F.lit("und"))
+    for lang in STOPWORDS:  # insertion order = tie-break priority
+        guess = guess.when(F.col(f"hits_{lang}") == best, F.lit(lang))
+    return scored.withColumn("lang_guess", guess).orderBy("doc_id")
+
+
+DOC_LANG_SQL_TEMPLATE = r"""
+WITH hits AS (
+  SELECT doc_id, lang,
+         {hit_cols}
+  FROM documents
+)
+SELECT doc_id, lang, {hit_names},
+       CASE WHEN greatest({hit_names}) = 0 THEN 'und'
+            {whens}
+       END AS lang_guess
+FROM hits ORDER BY doc_id
+"""
+
+
+def doc_lang_oracle_sql() -> str:
+    hit_cols = ",\n         ".join(
+        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+        f"x -> x IN {words!r})) AS hits_{lang}"
+        for lang, words in STOPWORDS.items()
+    )
+    hit_names = ", ".join(f"hits_{lang}" for lang in STOPWORDS)
+    whens = "\n            ".join(
+        f"WHEN hits_{lang} = greatest({hit_names}) THEN '{lang}'"
+        for lang in STOPWORDS
+    )
+    return DOC_LANG_SQL_TEMPLATE.format(
+        hit_cols=hit_cols, hit_names=hit_names, whens=whens
+    )
+
+
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring from length / punctuation / token-length signals
+    (metric aggregate analog of F7/F8)."""
+    d = _docs(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    n_tokens = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(F.size(toks))
+    n_alpha = F.length(F.regexp_replace("text", r"[^a-zA-Z]", ""))
+    n_punct = F.length(F.regexp_replace("text", r"[^.,!?;:]", ""))
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_alpha.cast("long").alias("n_alpha"),
+        n_punct.cast("long").alias("n_punct"),
+        F.round(
+            F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(20.0))
+            * (F.lit(1.0) - n_punct.cast("double") / F.greatest(F.length("text"), F.lit(1)))
+            , 4,
+        ).alias("quality"),
+    ).orderBy("doc_id")
+
+
+DOC_QUALITY_SQL = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+       length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+       round(least(1.0, (CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END) / 20.0)
+             * (1.0 - length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                      / greatest(length(text), 1)), 4) AS quality
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content fingerprint: md5 of whitespace-normalized,
+    lowercased text (portable across engines — both emit lowercase hex)."""
+    d = _docs(spark, sf_dir)
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    return d.select(
+        "doc_id", F.md5(F.encode(norm, "UTF-8")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+DOC_FINGERPRINT_SQL = r"""
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
