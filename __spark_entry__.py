@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from univer_ocr_spark.ops import dedup, extract_docs, relational, similarity, textstats  # noqa: E402
+from univer_ocr_spark.ops import dedup, extract_docs, multimodal, relational, similarity, textstats  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "embedding_label_centroids": similarity.embedding_label_centroids,
+        # multimodal binary-column plumbing
+        "multimodal_meta": multimodal.multimodal_meta,
     }
     # extraction queries run the real mapInPandas pipeline → need the package
     # shipped to Python workers
@@ -94,6 +96,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "extract_markup_docs": _with_pkg(extract_docs.extract_markup_docs),
             "extract_pdfish_docs": _with_pkg(extract_docs.extract_pdfish_docs),
             "transcripts_extract": _with_pkg(_transcripts_extract),
+            # stubbed decode → deterministic fake features (rows-only check;
+            # no SQL oracle for the decode stage by design)
+            "multimodal_features": _with_pkg(multimodal.multimodal_features),
         }
     )
     return qs
@@ -119,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce_topk": similarity.ANN_BRUTEFORCE_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_SQL,
         "embedding_label_centroids": similarity.CENTROIDS_SQL,
+        "multimodal_meta": multimodal.MULTIMODAL_META_SQL,
         "extract_html_docs": extract_docs.EXTRACT_HTML_DOCS_SQL,
         "extract_markup_docs": extract_docs.EXTRACT_MARKUP_DOCS_SQL,
         "extract_pdfish_docs": extract_docs.EXTRACT_PDFISH_DOCS_SQL,

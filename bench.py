@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Benchmark runner. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   table dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  SPARK_GRAFT_BENCH_ONLY  comma-separated query subset
+  SPARK_GRAFT_TURNS    override transcript turn count (default 1e6 * sf)
+
+The headline is extraction throughput (turns/sec) over a transcript table
+synthesized once per (sf, turns) into /tmp and reused across runs — so
+two-parallelism scaling runs (tools/scaling_bench.py) time the SAME input.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+ONLY = {q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q}
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def sf_of(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base[2:]) if base.startswith("sf") else 0.1
+    except ValueError:
+        return 0.1
+
+
+def ensure_transcripts(spark, sf: float) -> tuple[str, int]:
+    """Materialize the bench transcript table (no goldens) once per size."""
+    from univer_ocr_spark.generator.transcripts import transcripts_df
+
+    n_turns_target = int(os.environ.get("SPARK_GRAFT_TURNS", int(1_000_000 * sf)))
+    # avg conv ≈ 11 turns; one mega-conv at ~5% of turns exercises salting
+    mega_size = max(200, n_turns_target // 20)
+    n_convs = max(20, (n_turns_target - mega_size) // 11)
+    path = f"/tmp/univer_bench_transcripts_{n_turns_target}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        log(f"generating transcripts: ~{n_turns_target} turns -> {path}")
+        df = transcripts_df(
+            spark, n_convs, mega_conv_count=1, mega_conv_size=mega_size,
+            with_goldens=False, partitions=CPUS * 2,
+        )
+        df.write.mode("overwrite").parquet(path)
+    return path, n_turns_target
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from univer_ocr_spark.ops import dedup, extract_docs, relational, similarity, textstats
+    from univer_ocr_spark.spark.pipeline import conv_stats, run_extraction
+    from univer_ocr_spark.spark.session import get_spark
+
+    sf = sf_of(SF_DIR)
+    spark = get_spark(master=f"local[{CPUS}]", app_name="univer_bench")
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    tr_path, _ = ensure_transcripts(spark, sf)
+
+    # Warm-up: spawn Python workers, distribute the py-files zip, trigger
+    # codegen — steady-state throughput is what scales with cores, and what
+    # a long-running cluster job actually sees.
+    log("warm-up pass...")
+    run_extraction(spark.read.parquet(tr_path).limit(2000)).agg(
+        F.sum("n_spans")
+    ).collect()
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    def bench(name, fn):
+        if ONLY and name not in ONLY:
+            return
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        log(f"{name}: {dt:.3f}s")
+
+    def run_transcripts():
+        df = spark.read.parquet(tr_path)
+        out = run_extraction(df)
+        row = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+            F.sum("n_spans").alias("spans"),
+        ).collect()[0]
+        extras["turns"] = int(row["n"])
+        extras["extracted_chars"] = int(row["chars"])
+
+    def run_conv_stats():
+        df = spark.read.parquet(tr_path)
+        out = conv_stats(run_extraction(df))
+        out.agg(F.sum("total_chars")).collect()
+
+    bench("transcripts_extract", run_transcripts)
+    if "transcripts_extract" in timings and timings["transcripts_extract"] > 0:
+        extras["turns_per_sec"] = round(
+            extras.get("turns", 0) / timings["transcripts_extract"], 1
+        )
+    bench("transcripts_conv_stats", run_conv_stats)
+
+    for name, fn in [
+        ("q1_pricing_summary", relational.q1_pricing_summary),
+        ("q_revenue_by_nation", relational.q_revenue_by_nation),
+        ("q_topk_parts", relational.q_topk_parts),
+        ("q_sessionize_events", relational.q_sessionize_events),
+        ("q_running_user_value", relational.q_running_user_value),
+        ("doc_token_stats", textstats.doc_token_stats),
+        ("doc_fingerprint", textstats.doc_fingerprint),
+        ("dedup_exact", dedup.dedup_exact),
+        ("minhash_lsh_pairs", dedup.minhash_lsh_pairs),
+        ("ngram_jaccard_pairs", dedup.ngram_jaccard_pairs),
+        ("ann_bruteforce_topk", similarity.ann_bruteforce_topk),
+        ("ann_lsh_topk", similarity.ann_lsh_topk),
+        ("extract_html_docs", extract_docs.extract_html_docs),
+        ("extract_pdfish_docs", extract_docs.extract_pdfish_docs),
+    ]:
+        bench(name, lambda fn=fn: fn(spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "extraction+ops suite wall time (headline: transcript turns/sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
+        **extras,
+    }
+    print(json.dumps(result), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

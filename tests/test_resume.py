@@ -1,0 +1,71 @@
+"""Kill/resume contract (FIXTURES.md §4, SURVEY.md §5.6): interrupt after k
+bucket commits, rerun, assert committed buckets are NOT reprocessed and the
+final table equals a clean one-shot run."""
+
+from __future__ import annotations
+
+import pytest
+
+from univer_ocr_spark.generator.transcripts import transcripts_df
+from univer_ocr_spark.spark.manifest import (
+    read_manifest,
+    read_output,
+    run_with_manifest,
+)
+from univer_ocr_spark.spark.pipeline import run_extraction
+
+N_BUCKETS = 4
+
+
+def _sorted_rows(df):
+    return [
+        (r["conv_id"], r["turn_idx"], r["extracted_text"],
+         tuple((s["unit"], s["start"], s["end"]) for s in r["spans"]))
+        for r in df.select("conv_id", "turn_idx", "extracted_text", "spans")
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    ]
+
+
+def test_kill_and_resume(spark, tmp_path):
+    df = transcripts_df(spark, 16, with_goldens=False)
+
+    # clean one-shot reference output
+    clean = _sorted_rows(run_extraction(df))
+
+    workdir = str(tmp_path / "job")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_with_manifest(spark, df, workdir, n_buckets=N_BUCKETS, fail_after=2)
+
+    m1 = read_manifest(spark, workdir).collect()
+    assert len(m1) == 2  # exactly the committed buckets survived the crash
+    committed_first = {r["bucket"] for r in m1}
+    first_commit_times = {r["bucket"]: r["committed_at"] for r in m1}
+
+    # resume: only the remaining buckets get processed
+    processed = run_with_manifest(spark, df, workdir, n_buckets=N_BUCKETS)
+    assert len(processed) == N_BUCKETS - 2
+    assert set(processed).isdisjoint(committed_first)
+
+    m2 = read_manifest(spark, workdir)
+    rows2 = m2.collect()
+    assert len(rows2) == N_BUCKETS
+    assert {r["bucket"] for r in rows2} == set(range(N_BUCKETS))
+    # committed rows were not rewritten (same commit timestamps)
+    for r in rows2:
+        if r["bucket"] in committed_first:
+            assert r["committed_at"] == first_commit_times[r["bucket"]]
+    assert m2.filter("n_rows > 0").count() >= 1
+    assert all(r["extraction_version"] for r in rows2)
+
+    # final table identical to the clean one-shot run
+    assert _sorted_rows(read_output(spark, workdir)) == clean
+
+
+def test_rerun_is_noop(spark, tmp_path):
+    df = transcripts_df(spark, 6, with_goldens=False)
+    workdir = str(tmp_path / "job2")
+    first = run_with_manifest(spark, df, workdir, n_buckets=N_BUCKETS)
+    assert len(first) == N_BUCKETS
+    again = run_with_manifest(spark, df, workdir, n_buckets=N_BUCKETS)
+    assert again == []  # fully committed job resumes to a no-op

@@ -114,20 +114,30 @@ def minhash_signatures_sql() -> str:
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: docs sharing any band key are candidate near-dups.
     The join key is the band hash — never an all-pairs cross join."""
+    # one signature computation; bands fan out via explode (NOT a union of
+    # re-derived frames, which would recompute the shingle aggregation per
+    # band); persist so the self-join doesn't recompute the lineage twice
     sigs = minhash_signatures(spark, sf_dir)
-    bands = []
-    for b in range(LSH_BANDS):
-        cols = [F.col(f"sig_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-        bands.append(
-            sigs.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.encode(F.concat_ws("|", *cols), "UTF-8")).alias("band_key"),
-            )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"sig_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)],
+                    ),
+                    "UTF-8",
+                )
+            ).alias("band_key"),
         )
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionAll(extra)
+        for b in range(LSH_BANDS)
+    ]
+    banded = (
+        sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
+        .select("doc_id", "bk.band", "bk.band_key")
+        .persist()
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -169,7 +179,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (the verify path; at 100 TB this
     runs on LSH candidates only). Pair discovery joins on the shingle key;
     Jaccard = shared / (|A| + |B| - shared)."""
-    ex = _exploded_shingles(spark, sf_dir)
+    ex = _exploded_shingles(spark, sf_dir).persist()  # used 3× below
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     l = ex.alias("l")
     r = ex.alias("r")

@@ -1,0 +1,132 @@
+"""Per-partition checkpoint / lineage manifest with resume.
+
+North-rule contract: the job checkpoints completed partitions to a manifest
+table carrying per-partition lineage (input snapshot id, row counts,
+extraction version) and throughput metrics, so a failed run resumes without
+reprocessing. This generalizes the reference's checkpoint-on-improvement /
+rollback-on-NaN training loop (ref: my_model/train.py:132-141,
+nn/trainer.py:258-278 — SURVEY.md X10) from model weights to data
+partitions.
+
+Unit of work: a *bucket* = ``pmod(xxhash64(conv_id), n_buckets)`` —
+deterministic across runs and independent of physical partitioning. The
+input is bucketized ONCE (one shuffle, written ``partitionBy("bucket")``),
+then each bucket is processed as its own fully-parallel job off a
+partition-pruned scan; a manifest row commits after each bucket's output
+lands.
+
+Iceberg note: on a real cluster each bucket commit would be an Iceberg
+snapshot append (``df.writeTo(tbl).append()``) and the manifest would cite
+the snapshot id. This container has no Iceberg runtime jar, so the same
+protocol is expressed with parquet directories + a parquet manifest table;
+the commit/resume logic is identical.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from univer_ocr_spark import EXTRACTION_VERSION
+from univer_ocr_spark.spark.pipeline import run_extraction
+
+MANIFEST_SCHEMA = (
+    "bucket int, n_rows long, extraction_version string, "
+    "input_snapshot string, wall_sec double, rows_per_sec double, "
+    "committed_at double"
+)
+
+
+def bucket_expr(n_buckets: int):
+    return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+
+
+def bucketize(spark: SparkSession, df: DataFrame, staged_dir: str,
+              n_buckets: int) -> None:
+    """One-time shuffle: stage the input partitioned by bucket so each
+    bucket's processing is a partition-pruned scan (no re-scan of the full
+    input per bucket)."""
+    if os.path.exists(os.path.join(staged_dir, "_SUCCESS")):
+        return
+    (
+        df.withColumn("bucket", bucket_expr(n_buckets))
+        .repartition(n_buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(staged_dir)
+    )
+
+
+def committed_buckets(spark: SparkSession, manifest_dir: str) -> set:
+    if not os.path.exists(manifest_dir):
+        return set()
+    try:
+        rows = spark.read.parquet(manifest_dir).select("bucket").collect()
+    except Exception:  # noqa: BLE001 — empty/missing manifest = nothing committed
+        return set()
+    return {r["bucket"] for r in rows}
+
+
+def run_with_manifest(
+    spark: SparkSession,
+    df: DataFrame,
+    workdir: str,
+    n_buckets: int = 16,
+    input_snapshot: str = "",
+    fail_after: Optional[int] = None,
+) -> List[int]:
+    """Extract ``df`` bucket-by-bucket with commit-per-bucket semantics.
+
+    Returns the list of buckets processed in THIS run (committed buckets
+    from prior runs are skipped — the resume contract). ``fail_after=k``
+    injects a crash after k bucket commits (for the kill/resume test).
+    """
+    staged = os.path.join(workdir, "staged")
+    outdir = os.path.join(workdir, "extracted")
+    manifest_dir = os.path.join(workdir, "manifest")
+
+    bucketize(spark, df, staged, n_buckets)
+    done = committed_buckets(spark, manifest_dir)
+    processed: List[int] = []
+
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        if fail_after is not None and len(processed) >= fail_after:
+            raise RuntimeError(f"injected failure after {fail_after} buckets")
+        t0 = time.time()
+        bucket_dir = os.path.join(staged, f"bucket={b}")
+        if not os.path.exists(bucket_dir):
+            part = spark.createDataFrame([], df.schema)  # empty bucket
+        else:
+            part = spark.read.parquet(bucket_dir)
+        out = run_extraction(part)
+        out.write.mode("overwrite").parquet(os.path.join(outdir, f"bucket={b}"))
+        n_rows = spark.read.parquet(os.path.join(outdir, f"bucket={b}")).count()
+        wall = time.time() - t0
+        row = {
+            "bucket": b,
+            "n_rows": n_rows,
+            "extraction_version": EXTRACTION_VERSION,
+            "input_snapshot": input_snapshot,
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(n_rows / wall, 3) if wall > 0 else 0.0,
+            "committed_at": time.time(),
+        }
+        # the commit: manifest row lands only after the bucket output did
+        spark.createDataFrame([row], schema=MANIFEST_SCHEMA).write.mode(
+            "append"
+        ).parquet(manifest_dir)
+        processed.append(b)
+    return processed
+
+
+def read_output(spark: SparkSession, workdir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(workdir, "extracted"))
+
+
+def read_manifest(spark: SparkSession, workdir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(workdir, "manifest"))
