@@ -47,14 +47,19 @@ def ensure_transcripts(spark, sf: float) -> tuple[str, int]:
     # avg conv ≈ 11 turns; one mega-conv at ~5% of turns exercises salting
     mega_size = max(200, n_turns_target // 20)
     n_convs = max(20, (n_turns_target - mega_size) // 11)
-    path = f"/tmp/univer_bench_transcripts_{n_turns_target}"
+    path = f"/tmp/univer_bench_transcripts_{n_turns_target}_rg4m"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         log(f"generating transcripts: ~{n_turns_target} turns -> {path}")
         df = transcripts_df(
             spark, n_convs, mega_conv_count=1, mega_conv_size=mega_size,
             with_goldens=False, partitions=CPUS * 2,
         )
-        df.write.mode("overwrite").parquet(path)
+        # small row groups keep even a mega-conversation file splittable, so
+        # the extraction map balances via maxPartitionBytes with NO shuffle —
+        # the same property Iceberg table maintenance provides at 100 TB
+        df.write.mode("overwrite").option(
+            "parquet.block.size", 4 * 1024 * 1024
+        ).parquet(path)
     return path, n_turns_target
 
 
@@ -66,7 +71,10 @@ def main() -> None:
     from univer_ocr_spark.spark.session import get_spark
 
     sf = sf_of(SF_DIR)
-    spark = get_spark(master=f"local[{CPUS}]", app_name="univer_bench")
+    spark = get_spark(
+        master=f"local[{CPUS}]", app_name="univer_bench",
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)},
+    )
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
@@ -92,6 +100,9 @@ def main() -> None:
 
     def run_transcripts():
         df = spark.read.parquet(tr_path)
+        # no shuffle: the map stage balances via parquet splits (small row
+        # groups + 8 MB maxPartitionBytes). Skew salting is exercised by the
+        # conv_stats aggregate below, where it is actually needed.
         out = run_extraction(df)
         row = out.agg(
             F.count(F.lit(1)).alias("n"),
@@ -103,7 +114,7 @@ def main() -> None:
 
     def run_conv_stats():
         df = spark.read.parquet(tr_path)
-        out = conv_stats(run_extraction(df))
+        out = conv_stats(run_extraction(df), n_salt=CPUS)
         out.agg(F.sum("total_chars")).collect()
 
     bench("transcripts_extract", run_transcripts)

@@ -45,3 +45,25 @@ def extract_payload(payload: str) -> Tuple[str, List[Span], str]:
     else:
         text, spans = extract_markup(payload)
     return text, spans, kind
+
+
+def extract_payloads_batch(payloads) -> List[Tuple[str, List[Span], str]]:
+    """Batch dispatch used by the Spark stage: pdfish payloads go through
+    the NumPy-vectorized batch path (extract/pdfish_batch.py); html/markup
+    stay per-row. Property-tested equal to extract_payload row-by-row."""
+    from univer_ocr_spark.extract.pdfish_batch import extract_pdfish_many
+
+    kinds = [sniff(p or "") for p in payloads]
+    results: List = [None] * len(payloads)
+    pdf_idx = [i for i, k in enumerate(kinds) if k == "pdfish"]
+    if pdf_idx:
+        for i, (text, spans) in zip(
+            pdf_idx, extract_pdfish_many([payloads[i] or "" for i in pdf_idx])
+        ):
+            results[i] = (text, spans, "pdfish")
+    for i, k in enumerate(kinds):
+        if results[i] is None:
+            p = payloads[i] or ""
+            text, spans = extract_html(p) if k == "html" else extract_markup(p)
+            results[i] = (text, spans, k)
+    return results

@@ -88,7 +88,13 @@ def cluster_lines(
 
 
 def extract_pdfish(payload: str) -> Tuple[str, List[Span]]:
-    """Return (extracted_text, spans)."""
+    """Return (extracted_text, spans).
+
+    Per-payload tolerant parser. The Spark stage routes well-formed pdfish
+    payloads through the Arrow-batch vectorized twin
+    (extract/pdfish_batch.py) — NumPy only pays off across thousands of
+    turns at once; per payload this pure-Python path is faster.
+    """
     _w, page_h, glyphs = parse_glyphs(payload)
     spans: List[Span] = []
     unit_texts: List[str] = []

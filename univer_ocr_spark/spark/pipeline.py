@@ -23,7 +23,7 @@ from typing import Iterator, List
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from univer_ocr_spark import EXTRACTION_VERSION
-from univer_ocr_spark.extract import extract_payload
+from univer_ocr_spark.extract import extract_payloads_batch
 
 SPAN_TYPE = T.ArrayType(
     T.StructType(
@@ -59,8 +59,7 @@ def extract_stage(df: DataFrame, payload_col: str = "text") -> DataFrame:
         for pdf in batches:
             texts: List[str] = pdf[payload_col].tolist()
             ext, spans_col, kinds, n_units, n_spans, n_chars = [], [], [], [], [], []
-            for t in texts:
-                text, spans, kind = extract_payload(t or "")
+            for text, spans, kind in extract_payloads_batch(texts):
                 ext.append(text)
                 spans_col.append(
                     [{"unit": u, "start": s, "end": e} for (u, s, e) in spans]
