@@ -71,16 +71,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize_events": relational.q_sessionize_events,
         "q_running_user_value": relational.q_running_user_value,
         "q_nearest_event_pair": relational.q_nearest_event_pair,
+        "q_monthly_revenue": relational.q_monthly_revenue,
+        "q_set_ops": relational.q_set_ops,
+        "q_pivot_returnflag": relational.q_pivot_returnflag,
+        "q_rollup_counts": relational.q_rollup_counts,
+        "q_events_within_hour": relational.q_events_within_hour,
         # text analysis (training-data pipeline ops)
         "doc_token_stats": textstats.doc_token_stats,
         "doc_lang_heuristic": textstats.doc_lang_heuristic,
         "doc_quality_score": textstats.doc_quality_score,
         "doc_fingerprint": textstats.doc_fingerprint,
+        "doc_ngram_mode": textstats.doc_ngram_mode,
+        "doc_sample_deterministic": textstats.doc_sample_deterministic,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "minhash_signatures": dedup.minhash_signatures,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "simhash_signatures": dedup.simhash_signatures,
         # similarity search
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
@@ -95,6 +103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "extract_html_docs": _with_pkg(extract_docs.extract_html_docs),
             "extract_markup_docs": _with_pkg(extract_docs.extract_markup_docs),
             "extract_pdfish_docs": _with_pkg(extract_docs.extract_pdfish_docs),
+            "extract_html_blocks_docs": _with_pkg(extract_docs.extract_html_blocks_docs),
+            "extract_markup_collapse_docs": _with_pkg(extract_docs.extract_markup_collapse_docs),
             "transcripts_extract": _with_pkg(_transcripts_extract),
             # stubbed decode → deterministic fake features (rows-only check;
             # no SQL oracle for the decode stage by design)
@@ -113,14 +123,22 @@ def oracle_sql() -> dict[str, str]:
         "q_sessionize_events": relational.Q_SESSIONIZE_SQL,
         "q_running_user_value": relational.Q_RUNNING_SQL,
         "q_nearest_event_pair": relational.Q_NEAREST_SQL,
+        "q_monthly_revenue": relational.Q_MONTHLY_REVENUE_SQL,
+        "q_set_ops": relational.Q_SET_OPS_SQL,
+        "q_pivot_returnflag": relational.Q_PIVOT_SQL,
+        "q_rollup_counts": relational.Q_ROLLUP_SQL,
+        "q_events_within_hour": relational.Q_EVENTS_WITHIN_HOUR_SQL,
         "doc_token_stats": textstats.DOC_TOKEN_STATS_SQL,
         "doc_lang_heuristic": textstats.doc_lang_oracle_sql(),
         "doc_quality_score": textstats.DOC_QUALITY_SQL,
         "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
+        "doc_ngram_mode": textstats.DOC_NGRAM_MODE_SQL,
+        "doc_sample_deterministic": textstats.DOC_SAMPLE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "minhash_signatures": dedup.minhash_signatures_sql(),
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs_sql(),
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
+        "simhash_signatures": dedup.simhash_signatures_sql(),
         "ann_bruteforce_topk": similarity.ANN_BRUTEFORCE_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_SQL,
         "embedding_label_centroids": similarity.CENTROIDS_SQL,
@@ -128,6 +146,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_html_docs": extract_docs.EXTRACT_HTML_DOCS_SQL,
         "extract_markup_docs": extract_docs.EXTRACT_MARKUP_DOCS_SQL,
         "extract_pdfish_docs": extract_docs.EXTRACT_PDFISH_DOCS_SQL,
+        "extract_html_blocks_docs": extract_docs.EXTRACT_HTML_BLOCKS_SQL,
+        "extract_markup_collapse_docs": extract_docs.EXTRACT_MARKUP_COLLAPSE_SQL,
         # transcripts_extract: intentionally no oracle (full pipeline over
         # generated transcripts; byte-for-byte correctness is pytest's job)
     }

@@ -215,3 +215,63 @@ NGRAM_JACCARD_SQL = (
     f"WHERE round(shared / (sa.n_shingles + sb.n_shingles - shared), 4) >= {JACCARD_THRESHOLD}\n"
     "ORDER BY doc_a, doc_b"
 )
+
+
+# --------------------------------------------------------------- SimHash ---
+
+SIMHASH_BITS = 32
+_HEX = "0123456789abcdef"
+
+
+def _h32_sql_duckdb(col: str) -> str:
+    """First 8 hex chars of md5 as an integer — nibble arithmetic (DuckDB
+    has no hex→int conversion)."""
+    terms = [
+        f"(strpos('{_HEX}', md5({col})[{i}:{i}]) - 1) * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _h32_sql_spark(col: str) -> str:
+    return f"CAST(conv(substring(md5({col}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def _simhash_select(h32: str) -> str:
+    """Bit-vote aggregation: portable FLOOR/% arithmetic on both engines."""
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN CAST(FLOOR(h32 / {2 ** j}) AS BIGINT) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s_{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN s_{j} >= 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return (
+        f"WITH hashed AS (\n"
+        f"  SELECT doc_id, {h32} AS h32 FROM shingled\n"
+        f"),\n"
+        f"votes AS (\n"
+        f"  SELECT doc_id,\n         {sums}\n  FROM hashed GROUP BY doc_id\n"
+        f")\n"
+        f"SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash\n"
+        f"FROM votes ORDER BY doc_id"
+    )
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per doc over word-2gram shingles: per-bit majority
+    vote of shingle hashes (near-dup docs land at small Hamming distance).
+    One shuffle (groupBy doc_id); the 32 bit-votes are one wide map-side-
+    combined aggregate, not 32 passes."""
+    ex = _exploded_shingles(spark, sf_dir)
+    ex.createOrReplaceTempView("shingled")
+    return spark.sql(_simhash_select(_h32_sql_spark("shingle")))
+
+
+def simhash_signatures_sql() -> str:
+    return (
+        f"WITH shingled AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),\n"
+        + _simhash_select(_h32_sql_duckdb("shingle"))[5:]  # strip 'WITH '
+    )

@@ -134,3 +134,57 @@ EXTRACT_PDFISH_DOCS_SQL = r"""
 SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS extracted_text
 FROM documents ORDER BY doc_id
 """
+
+
+def extract_html_blocks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-bookkeeping check via SQL: a two-block page (h1 + p) must yield
+    exactly 2 units / 2 spans in document order, with the extracted text
+    equal to 'doc\\n' + sanitized body — the oracle states these counts by
+    construction, so the driver's hash check covers unit ordering and span
+    accounting, not just text."""
+    d = _docs(spark, sf_dir)
+    payload = F.concat(
+        F.lit('<html><body><nav><a href="/">x</a></nav><h1>doc</h1><p>'),
+        _sanitize(F.col("text")),
+        F.lit("</p></body></html>"),
+    )
+    wrapped = d.select("doc_id", payload.alias("text"))
+    out = extract_stage(wrapped)
+    return out.select(
+        "doc_id",
+        F.col("n_units").cast("long").alias("n_units"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        "extracted_text",
+    ).orderBy("doc_id")
+
+
+EXTRACT_HTML_BLOCKS_SQL = f"""
+SELECT doc_id, 2 AS n_units, 2 AS n_spans,
+       'doc' || chr(10) || {_SANITIZE_SQL} AS extracted_text
+FROM documents ORDER BY doc_id
+"""
+
+
+def extract_markup_collapse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusable-collapse check via SQL: inject a Cyrillic 'а' echo after
+    every Latin 'a' (the OCR-style noise the reference's similar-pairs
+    collapse removes, ref: primitives/__init__.py:16-42); extraction must
+    recover the original text exactly."""
+    d = _docs(spark, sf_dir)
+    flat = F.replace(F.col("text"), F.lit("\n"), F.lit(" "))
+    noisy = F.replace(flat, F.lit("a"), F.lit("aа"))
+    payload = F.concat(
+        F.lit("\x1b[2K[fetching]\n```\n"), noisy, F.lit("\n```")
+    )
+    wrapped = d.select("doc_id", payload.alias("text"))
+    return (
+        extract_stage(wrapped)
+        .select("doc_id", "extracted_text")
+        .orderBy("doc_id")
+    )
+
+
+EXTRACT_MARKUP_COLLAPSE_SQL = """
+SELECT doc_id, replace(text, chr(10), ' ') AS extracted_text
+FROM documents ORDER BY doc_id
+"""

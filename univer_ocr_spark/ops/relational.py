@@ -257,3 +257,126 @@ SELECT user_id, click_id, view_id, lag_usec FROM (
 ) t WHERE rk = 1
 ORDER BY user_id, click_id
 """
+
+
+def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup: month bucketing + aggregate (timestamp funcs)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("month")
+    )
+
+
+Q_MONTHLY_REVENUE_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders GROUP BY 1 ORDER BY month
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (SURVEY §2.10): custkeys with finished orders EXCEPT
+    custkeys that also have open orders."""
+    orders = _t(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    return f.exceptAll(o).orderBy("o_custkey")
+
+
+Q_SET_OPS_SQL = """
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+ORDER BY o_custkey
+"""
+
+
+def q_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (portable CASE form on both engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0)), 2).alias("qty_O"),
+            F.round(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)), 2).alias("qty_F"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_PIVOT_SQL = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_O,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_F
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets with NULL totals coalesced to 'ALL'."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+Q_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+def q_events_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join (J3 analog, interpreter.py:147-156): for
+    each click, count views by the same user within the preceding hour.
+    Equi-join on user_id carries the range predicate; at 100 TB add a
+    coarse time-bucket key to the join to bound the probe set."""
+    ev = _t(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("vts")
+    )
+    j = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (us("vts") <= us("cts"))
+        & (us("vts") > us("cts") - F.lit(3600 * 1_000_000)),
+        "left",
+    )
+    return (
+        j.groupBy("user_id", "click_id")
+        .agg(F.count(F.col("vts")).alias("views_in_hour"))
+        .orderBy("user_id", "click_id")
+    )
+
+
+Q_EVENTS_WITHIN_HOUR_SQL = """
+SELECT c.user_id AS user_id, c.event_id AS click_id,
+       count(v.ts) AS views_in_hour
+FROM events c LEFT JOIN events v
+  ON v.user_id = c.user_id AND v.event_type = 'view'
+ AND epoch_us(v.ts) <= epoch_us(c.ts)
+ AND epoch_us(v.ts) > epoch_us(c.ts) - 3600000000
+WHERE c.event_type = 'click'
+GROUP BY c.user_id, c.event_id
+ORDER BY c.user_id, click_id
+"""

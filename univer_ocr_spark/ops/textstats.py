@@ -151,3 +151,65 @@ DOC_FINGERPRINT_SQL = r"""
 SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
 FROM documents ORDER BY doc_id
 """
+
+
+def doc_ngram_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-3 character 3-grams — the mode/majority-vote
+    aggregate (A5 analog, ref: interpreter.py:547-571) with a deterministic
+    tie-break on the ngram itself."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    d2 = d.select("doc_id", "lang", norm.alias("norm"))
+    d2 = d2.filter(F.length("norm") >= 3).select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3))")
+        ).alias("gram"),
+    )
+    counted = d2.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("gram"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("lang", "rk")
+    )
+
+
+DOC_NGRAM_MODE_SQL = r"""
+WITH grams AS (
+  SELECT lang, unnest(list_transform(range(1, length(norm) - 1),
+                                     i -> norm[i:i+2])) AS gram
+  FROM (SELECT lang, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        FROM documents)
+  WHERE length(norm) >= 3
+),
+counted AS (SELECT lang, gram, count(*) AS n FROM grams GROUP BY lang, gram)
+SELECT lang, gram, n, rk FROM (
+  SELECT lang, gram, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram ASC) AS rk
+  FROM counted) t
+WHERE rk <= 3 ORDER BY lang, rk
+"""
+
+
+def doc_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% hash sample (S4 analog, ref: datasets.py:146-157 —
+    but reproducible across engines/runs: md5 prefix instead of RNG)."""
+    d = _docs(spark, sf_dir)
+    key = F.md5(F.encode(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text")), "UTF-8"))
+    return (
+        d.select("doc_id", key.alias("k"))
+        .filter(F.col("k") < "4")
+        .select("doc_id", "k")
+        .orderBy("doc_id")
+    )
+
+
+DOC_SAMPLE_SQL = """
+SELECT doc_id, k FROM (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|' || text) AS k
+  FROM documents) t
+WHERE k < '4' ORDER BY doc_id
+"""
