@@ -81,10 +81,12 @@ def _main_block(b: _Builder, rng: Random, tag: str, spans: List[Span], unit: int
             link_text = None
 
     golden_parts: List[str] = []
+    last_text_end = block_start
     for i, (t, _) in enumerate(texts):
         start = b.add(t)
         _add_span(spans, unit, start, start + len(t))
         golden_parts.append(t)
+        last_text_end = start + len(t)
         if i == 0 and link_text is not None:
             b.add(" ")
             _add_span(spans, unit, b.pos - 1, b.pos)
@@ -93,6 +95,7 @@ def _main_block(b: _Builder, rng: Random, tag: str, spans: List[Span], unit: int
             lstart = b.add(link_text)
             _add_span(spans, unit, lstart, lstart + len(link_text))
             golden_parts.append(link_text)
+            last_text_end = lstart + len(link_text)
             b.add("</a>")
         elif rng.random() < 0.3:
             deco = rng.choice(("b", "i", "code"))
@@ -101,10 +104,12 @@ def _main_block(b: _Builder, rng: Random, tag: str, spans: List[Span], unit: int
             dstart = b.add(t2)
             _add_span(spans, unit, dstart, dstart + len(t2))
             golden_parts.append(t2)
+            last_text_end = dstart + len(t2)
             b.add(f"</{deco}>")
-    block_end = b.pos
     b.add(close_tag)
-    return "".join(golden_parts), block_start, block_end
+    # block extent = first..last text character (matches the extractor's
+    # node extents; inline close tags are not content)
+    return "".join(golden_parts), block_start, last_text_end
 
 
 def _nav_block(b: _Builder, rng: Random) -> Tuple[int, int]:
