@@ -55,9 +55,13 @@ ORDER BY doc_id
 """
 
 
-def _word_shingles(col):
-    """Word 2-gram shingles of whitespace-tokenized, normalized text."""
-    toks = F.split(_norm(col), " ")
+def _word_shingles_from_toks(toks):
+    """Word 2-gram shingles from a materialized token-array column.
+
+    The token array MUST be a plain column reference: an expression inside
+    the transform() lambda is re-evaluated per element (measured ~2 ms/row
+    when split(regexp_replace(...)) sat inside the lambda — 90 regex evals
+    per row)."""
     return F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -66,7 +70,7 @@ def _word_shingles(col):
                 F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
             ),
         ),
-    ).otherwise(F.array(_norm(col)))
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
 _SHINGLES_SQL = r"""
@@ -82,8 +86,14 @@ _SHINGLES_SQL = r"""
 
 def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
+    toked = d.select(
+        "doc_id", F.split(_norm(F.col("text")), " ").alias("toks")
+    )
     return (
-        d.select("doc_id", F.explode(_word_shingles(F.col("text"))).alias("shingle"))
+        toked.select(
+            "doc_id",
+            F.explode(_word_shingles_from_toks(F.col("toks"))).alias("shingle"),
+        )
         .distinct()
     )
 

@@ -39,17 +39,20 @@ def _dot(a: str, b: str):
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k per query vector (tie-break: candidate id)."""
     e = _emb(spark, sf_dir)
+    # norms precomputed per side: 19900 pairs x 3 interpreted HOF dots would
+    # triple the work vs one dot per pair + cached norms
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    ).withColumn("q_norm", F.sqrt(_dot("q_emb", "q_emb"))).persist()
     c = e.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
-    )
-    cos = (
-        _dot("q_emb", "c_emb")
-        / F.sqrt(_dot("q_emb", "q_emb"))
-        / F.sqrt(_dot("c_emb", "c_emb"))
-    )
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+    ).withColumn("c_norm", F.sqrt(_dot("c_emb", "c_emb"))).persist()
+    # persist = projection barrier: without it Catalyst collapses the norm
+    # column back into the per-pair expression (3 interpreted HOF dots per
+    # pair instead of 1)
+    cos = _dot("q_emb", "c_emb") / F.col("q_norm") / F.col("c_norm")
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
         c.crossJoin(F.broadcast(q))
@@ -107,24 +110,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         _sign_bucket("embedding").cast("long").alias("bucket"),
-    )
+    ).withColumn("q_norm", F.sqrt(_dot("q_emb", "q_emb"))).persist()
     c = e.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
         _sign_bucket("embedding").cast("long").alias("bucket"),
-    )
-    cos = (
-        _dot("q_emb", "c_emb")
-        / F.sqrt(_dot("q_emb", "q_emb"))
-        / F.sqrt(_dot("c_emb", "c_emb"))
-    )
+    ).withColumn("c_norm", F.sqrt(_dot("c_emb", "c_emb"))).persist()
+    cos = _dot("q_emb", "c_emb") / F.col("q_norm") / F.col("c_norm")
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
         c.join(F.broadcast(q), "bucket")
         .withColumn("cos", cos)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= LSH_TOP_K)
-        .select("query_id", "cand_id", "bucket", "rank", F.round("cos", 4).alias("cosine"))
+        .select("query_id", "cand_id", F.col("bucket"), "rank", F.round("cos", 4).alias("cosine"))
         .orderBy("query_id", "rank")
     )
 
