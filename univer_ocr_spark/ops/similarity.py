@@ -26,7 +26,10 @@ LSH_TOP_K = 3
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # single small file = one partition; pair scoring is CPU-bound
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _dot(a: str, b: str):
