@@ -1,0 +1,43 @@
+"""Hypothesis fuzzing of the extractors: on ARBITRARY input they must never
+raise, and spans must stay valid verbatim slices (the reconstruct
+invariant). This is the 10^12-row tolerance contract — one weird payload
+must not kill a task."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from univer_ocr_spark.extract import extract_payload, extract_payloads_batch
+from univer_ocr_spark.spans import reconstruct, validate_spans
+
+payloads = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=400,
+)
+structured = st.one_of(
+    payloads,
+    payloads.map(lambda s: "<html><body><p>" + s),
+    payloads.map(lambda s: "%PDFISH 612 792\n" + s),
+    payloads.map(lambda s: "```\n" + s + "\n```"),
+    payloads.map(lambda s: "g a 1 2 3 4\n" + s),
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(structured)
+def test_extract_never_raises_and_spans_valid(payload):
+    text, spans, kind = extract_payload(payload)
+    validate_spans(payload, spans)
+    rebuilt = reconstruct(payload, spans)
+    if kind == "pdfish":
+        assert rebuilt.replace(" ", "") == text.replace(" ", "")
+    else:
+        assert rebuilt == text
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(structured, max_size=8))
+def test_batch_equals_per_row_on_fuzz(batch):
+    got = extract_payloads_batch(batch)
+    for i, p in enumerate(batch):
+        assert got[i] == extract_payload(p or "")

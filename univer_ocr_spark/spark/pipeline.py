@@ -123,9 +123,16 @@ def run_extraction(
     """
     if partitions:
         skewed = detect_skewed_convs(df, salt_threshold)
-        df = with_salt(df, skewed, n_salt).repartition(
-            partitions, "conv_id", "salt"
-        ).drop("salt")
+        df = (
+            with_salt(df, skewed, n_salt)
+            .repartition(partitions, "conv_id", "salt")
+            .drop("salt")
+            # stable-ordering invariant (O5 / north_rule): turns of a conv
+            # arrive in turn_idx order within each partition; the OUTPUT
+            # contract remains the (conv_id, turn_idx) columns, so salting
+            # can never break ordering
+            .sortWithinPartitions("conv_id", "turn_idx")
+        )
     out = extract_stage(df)
     return out.withColumn("extraction_version", F.lit(EXTRACTION_VERSION))
 
