@@ -45,15 +45,17 @@ def parse_blocks(payload: str) -> List[ExtractorBlock]:
     def handle_text(start: int, end: int) -> None:
         if drop_depth > 0 or not open_blocks:
             return
-        if payload[start:end].strip() == "":
+        seg = payload[start:end]
+        if seg.isspace():
             return
-        blocks[open_blocks[-1]][1].append((start, end, link_depth > 0))
+        blocks[open_blocks[-1]][1].append((start, end, link_depth > 0))  # noqa: E501
 
     for m in _TAG_RE.finditer(payload):
         if m.start() > pos:
             handle_text(pos, m.start())
         pos = m.end()
-        closing, name = m.group(1) == "/", m.group(2).lower()
+        g1, name = m.group(1, 2)
+        closing, name = g1 == "/", name.lower()
         if name in _VOID_TAGS:
             continue
         if closing:

@@ -17,7 +17,7 @@ from __future__ import annotations
 import re
 from typing import List, Optional, Tuple
 
-from univer_ocr_spark.constants import BLANK, ESC, are_similar
+from univer_ocr_spark.constants import BLANK, ESC, _SIMILAR_SET, are_similar  # noqa: F401
 from univer_ocr_spark.spans import Span
 
 _ANSI_RE = re.compile(r"\x1b\[[0-9;]*[A-Za-z]")
@@ -39,6 +39,17 @@ def extract_markup(payload: str) -> Tuple[str, List[Span]]:
         line_end = n if nl == -1 else nl
         line = payload[line_start:line_end]
         if not _is_dropped_line(line) and line:
+            # fast path: a pure-ASCII line with no ESC cannot contain a
+            # Cyrillic confusable or the BLANK sentinel — everything is kept
+            # verbatim (one span). C-level checks only.
+            if ESC not in line and line.isascii():
+                spans.append((unit, line_start, line_end))
+                unit_texts.append(line)
+                unit += 1
+                if nl == -1:
+                    break
+                line_start = nl + 1
+                continue
             kept: List[str] = []
             runs: List[Tuple[int, int]] = []
             prev_kept: Optional[str] = None
@@ -57,7 +68,7 @@ def extract_markup(payload: str) -> Tuple[str, List[Span]]:
                     prev_kept = None
                     i += 1
                     continue
-                if prev_kept is not None and are_similar(ch, prev_kept):
+                if prev_kept is not None and (ch, prev_kept) in _SIMILAR_SET:
                     i += 1  # collapse lookalike echo
                     continue
                 off = line_start + i
