@@ -43,18 +43,43 @@ def _with_pkg(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSe
     return wrapped
 
 
+def _transcripts_extract_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row summary of the full generator→extraction pipeline. The
+    generator parameters are fixed, so every value is a deterministic
+    constant known in advance — the oracle states them literally
+    (golden-by-construction at the aggregate level): n_matching == n_turns
+    proves per-turn text+span equality for the whole run."""
+    from pyspark.sql import functions as F
+
+    out = _transcripts_full(spark)
+    spans_eq = F.col("spans").cast("string") == F.col("gold_spans").cast("string")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(
+            ((F.col("extracted_text") == F.col("gold_text")) & spans_eq).cast("long")
+        ).alias("n_matching"),
+        F.sum("n_units").alias("total_units"),
+        F.sum("n_spans").alias("total_spans"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def _transcripts_full(spark: SparkSession):
+    from univer_ocr_spark.generator.transcripts import transcripts_df
+    from univer_ocr_spark.spark.pipeline import run_extraction
+
+    df = transcripts_df(spark, 60, mega_conv_count=1, mega_conv_size=200,
+                        partitions=8)
+    return run_extraction(df, partitions=8, salt_threshold=100, n_salt=4)
+
+
 def _transcripts_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end transcript extraction (non-SQL-expressible: the full
     generator → mapInPandas extraction pipeline; correctness is enforced
     byte-for-byte by pytest against by-construction goldens)."""
     from pyspark.sql import functions as F
 
-    from univer_ocr_spark.generator.transcripts import transcripts_df
-    from univer_ocr_spark.spark.pipeline import run_extraction
-
-    df = transcripts_df(spark, 60, mega_conv_count=1, mega_conv_size=200,
-                        partitions=8)
-    out = run_extraction(df, partitions=8, salt_threshold=100, n_salt=4)
+    out = _transcripts_full(spark)
     return out.select(
         "conv_id", "turn_idx", "kind", "n_units", "n_spans", "n_chars",
         (F.col("extracted_text") == F.col("gold_text")).alias("matches_golden"),
@@ -106,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "extract_html_blocks_docs": _with_pkg(extract_docs.extract_html_blocks_docs),
             "extract_markup_collapse_docs": _with_pkg(extract_docs.extract_markup_collapse_docs),
             "transcripts_extract": _with_pkg(_transcripts_extract),
+            "transcripts_extract_summary": _with_pkg(_transcripts_extract_summary),
             # stubbed decode → deterministic fake features (rows-only check;
             # no SQL oracle for the decode stage by design)
             "multimodal_features": _with_pkg(multimodal.multimodal_features),

@@ -17,6 +17,9 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # NTZ->TZ casts (unix_micros) depend on the session timezone; pin UTC so
+    # results are identical under any driver session configuration
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
