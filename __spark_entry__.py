@@ -174,6 +174,16 @@ def oracle_sql() -> dict[str, str]:
         "extract_pdfish_docs": extract_docs.EXTRACT_PDFISH_DOCS_SQL,
         "extract_html_blocks_docs": extract_docs.EXTRACT_HTML_BLOCKS_SQL,
         "extract_markup_collapse_docs": extract_docs.EXTRACT_MARKUP_COLLAPSE_SQL,
-        # transcripts_extract: intentionally no oracle (full pipeline over
-        # generated transcripts; byte-for-byte correctness is pytest's job)
+        # transcripts_extract (detailed rows): intentionally no oracle —
+        # byte-for-byte per-turn correctness is pytest's job. The SUMMARY
+        # query has one: the generator params are fixed, so the aggregate is
+        # a known constant; n_matching == n_turns == 892 asserts per-turn
+        # text+span equality across the whole pipeline via the driver's gate
+        "transcripts_extract_summary": (
+            "SELECT CAST(892 AS BIGINT) AS n_turns,"
+            " CAST(892 AS BIGINT) AS n_matching,"
+            " CAST(3342 AS BIGINT) AS total_units,"
+            " CAST(29689 AS BIGINT) AS total_spans,"
+            " CAST(240292 AS BIGINT) AS total_chars"
+        ),
     }
