@@ -73,6 +73,25 @@ def _transcripts_full(spark: SparkSession):
     return run_extraction(df, partitions=8, salt_threshold=100, n_salt=4)
 
 
+def _extraction_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QA rollup per archetype (P5 unknown/empty counters + F7-style overlap
+    flags): fixed generator params make every value a known constant — the
+    oracle states them literally."""
+    from pyspark.sql import functions as F
+
+    out = _transcripts_full(spark)
+    return (
+        out.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum((F.col("n_units") == 0).cast("long")).alias("n_empty"),
+            F.sum((F.col("extracted_text") == F.col("gold_text")).cast("long")).alias("n_text_match"),
+            F.sum("n_spans").alias("total_spans"),
+        )
+        .orderBy("kind")
+    )
+
+
 def _transcripts_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end transcript extraction (non-SQL-expressible: the full
     generator → mapInPandas extraction pipeline; correctness is enforced
@@ -132,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "extract_markup_collapse_docs": _with_pkg(extract_docs.extract_markup_collapse_docs),
             "transcripts_extract": _with_pkg(_transcripts_extract),
             "transcripts_extract_summary": _with_pkg(_transcripts_extract_summary),
+            "extraction_qa": _with_pkg(_extraction_qa),
             # stubbed decode → deterministic fake features (rows-only check;
             # no SQL oracle for the decode stage by design)
             "multimodal_features": _with_pkg(multimodal.multimodal_features),
@@ -179,6 +199,14 @@ def oracle_sql() -> dict[str, str]:
         # query has one: the generator params are fixed, so the aggregate is
         # a known constant; n_matching == n_turns == 892 asserts per-turn
         # text+span equality across the whole pipeline via the driver's gate
+        "extraction_qa": (
+            "SELECT * FROM (VALUES"
+            " ('html', CAST(443 AS BIGINT), CAST(0 AS BIGINT), CAST(443 AS BIGINT), CAST(4058 AS BIGINT)),"
+            " ('pdfish', 224, 0, 224, 23240),"
+            " ('toolmarkup', 225, 0, 225, 2391)"
+            ") AS t(kind, n_turns, n_empty, n_text_match, total_spans)"
+            " ORDER BY kind"
+        ),
         "transcripts_extract_summary": (
             "SELECT CAST(892 AS BIGINT) AS n_turns,"
             " CAST(892 AS BIGINT) AS n_matching,"

@@ -39,6 +39,22 @@ def sf_of(d: str) -> float:
         return 0.1
 
 
+def _generator_fingerprint() -> str:
+    """Hash of the generator sources: a changed generator must invalidate
+    cached bench tables (a stale cache would silently benchmark old data)."""
+    import glob
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=4)
+    root = os.path.dirname(os.path.abspath(__file__))
+    for f in sorted(glob.glob(os.path.join(root, "univer_ocr_spark/generator/*.py"))) + [
+        os.path.join(root, "univer_ocr_spark/constants.py")
+    ]:
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()
+
+
 def ensure_transcripts(spark, sf: float) -> tuple[str, int]:
     """Materialize the bench transcript table (no goldens) once per size."""
     from univer_ocr_spark.generator.transcripts import transcripts_df
@@ -47,7 +63,7 @@ def ensure_transcripts(spark, sf: float) -> tuple[str, int]:
     # avg conv ≈ 11 turns; one mega-conv at ~5% of turns exercises salting
     mega_size = max(200, n_turns_target // 20)
     n_convs = max(20, (n_turns_target - mega_size) // 11)
-    path = f"/tmp/univer_bench_transcripts_{n_turns_target}_rg4m"
+    path = f"/tmp/univer_bench_transcripts_{n_turns_target}_{_generator_fingerprint()}"
     generated = False
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         generated = True
@@ -118,7 +134,7 @@ def main() -> None:
         # no shuffle: the map stage balances via parquet splits (small row
         # groups + 8 MB maxPartitionBytes). Skew salting is exercised by the
         # conv_stats aggregate below, where it is actually needed.
-        out = run_extraction(df)
+        out = run_extraction(df, drop_payload=True)
         row = out.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("n_chars").alias("chars"),
@@ -129,7 +145,7 @@ def main() -> None:
 
     def run_conv_stats():
         df = spark.read.parquet(tr_path)
-        out = conv_stats(run_extraction(df), n_salt=CPUS)
+        out = conv_stats(run_extraction(df, drop_payload=True), n_salt=CPUS)
         out.agg(F.sum("total_chars")).collect()
 
     # best of three: the job is ~2-5s at sf0.1 and this host is noisy, so

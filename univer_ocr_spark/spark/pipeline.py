@@ -45,15 +45,23 @@ EXTRA_FIELDS = [
 ]
 
 
-def extract_stage(df: DataFrame, payload_col: str = "text") -> DataFrame:
+def extract_stage(df: DataFrame, payload_col: str = "text",
+                  drop_payload: bool = False) -> DataFrame:
     """Append extraction columns via one Arrow-batched ``mapInPandas`` stage.
 
     One stage, no shuffle: Catalyst keeps upstream filters/pruning below it,
     and everything downstream sees plain columns.
+
+    ``drop_payload=True`` excludes the raw payload from the OUTPUT batch —
+    the extracted table should not duplicate input payloads, and at KB-scale
+    payloads this halves the Python→JVM Arrow traffic (mapInPandas cannot be
+    column-pruned from above).
     """
     import pandas as pd
 
-    out_schema = T.StructType(list(df.schema.fields) + EXTRA_FIELDS)
+    out_fields = [f for f in df.schema.fields
+                  if not (drop_payload and f.name == payload_col)]
+    out_schema = T.StructType(out_fields + EXTRA_FIELDS)
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -68,6 +76,8 @@ def extract_stage(df: DataFrame, payload_col: str = "text") -> DataFrame:
                 n_units.append(spans[-1][0] + 1 if spans else 0)
                 n_spans.append(len(spans))
                 n_chars.append(len(text))
+            if drop_payload:
+                pdf = pdf.drop(columns=[payload_col])
             yield pdf.assign(
                 extracted_text=ext,
                 spans=spans_col,
@@ -115,6 +125,7 @@ def run_extraction(
     partitions: int | None = None,
     salt_threshold: int = 10000,
     n_salt: int = 16,
+    drop_payload: bool = False,
 ) -> DataFrame:
     """Full pipeline: (optional) skew-aware repartition → extraction stage.
 
@@ -133,7 +144,7 @@ def run_extraction(
             # can never break ordering
             .sortWithinPartitions("conv_id", "turn_idx")
         )
-    out = extract_stage(df)
+    out = extract_stage(df, drop_payload=drop_payload)
     return out.withColumn("extraction_version", F.lit(EXTRACTION_VERSION))
 
 
