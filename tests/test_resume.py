@@ -69,3 +69,20 @@ def test_rerun_is_noop(spark, tmp_path):
     assert len(first) == N_BUCKETS
     again = run_with_manifest(spark, df, workdir, n_buckets=N_BUCKETS)
     assert again == []  # fully committed job resumes to a no-op
+
+
+def test_stale_version_reprocessed(spark, tmp_path, monkeypatch):
+    """A bucket committed under an older extraction_version is stale lineage
+    and must be reprocessed on the next run."""
+    import univer_ocr_spark.spark.manifest as mf
+
+    df = transcripts_df(spark, 6, with_goldens=False)
+    workdir = str(tmp_path / "job3")
+    monkeypatch.setattr(mf, "EXTRACTION_VERSION", "0.9-old")
+    assert len(run_with_manifest(spark, df, workdir, n_buckets=N_BUCKETS)) == N_BUCKETS
+    monkeypatch.undo()
+    # current version sees no valid commits → full reprocess
+    redone = run_with_manifest(spark, df, workdir, n_buckets=N_BUCKETS)
+    assert len(redone) == N_BUCKETS
+    # and a third run under the current version is a no-op
+    assert run_with_manifest(spark, df, workdir, n_buckets=N_BUCKETS) == []

@@ -60,14 +60,23 @@ def bucketize(spark: SparkSession, df: DataFrame, staged_dir: str,
     )
 
 
-def committed_buckets(spark: SparkSession, manifest_dir: str) -> set:
+def committed_buckets(spark: SparkSession, manifest_dir: str,
+                      extraction_version: str = EXTRACTION_VERSION) -> set:
+    """Buckets committed under the CURRENT extraction version. A bucket
+    committed by an older version is stale lineage — it must be
+    reprocessed, exactly like an Iceberg snapshot written by an old job
+    version being superseded."""
     if not os.path.exists(manifest_dir):
         return set()
     try:
-        rows = spark.read.parquet(manifest_dir).select("bucket").collect()
+        rows = (
+            spark.read.parquet(manifest_dir)
+            .select("bucket", "extraction_version")
+            .collect()
+        )
     except Exception:  # noqa: BLE001 — empty/missing manifest = nothing committed
         return set()
-    return {r["bucket"] for r in rows}
+    return {r["bucket"] for r in rows if r["extraction_version"] == extraction_version}
 
 
 def run_with_manifest(
@@ -89,7 +98,7 @@ def run_with_manifest(
     manifest_dir = os.path.join(workdir, "manifest")
 
     bucketize(spark, df, staged, n_buckets)
-    done = committed_buckets(spark, manifest_dir)
+    done = committed_buckets(spark, manifest_dir, EXTRACTION_VERSION)
     processed: List[int] = []
 
     for b in range(n_buckets):
