@@ -68,8 +68,11 @@ def _transcripts_full(spark: SparkSession):
     from univer_ocr_spark.generator.transcripts import transcripts_df
     from univer_ocr_spark.spark.pipeline import run_extraction
 
+    # persist: run_extraction's skew-detection pre-pass and the extraction
+    # job both consume this generator output — without the cache the full
+    # table is generated twice
     df = transcripts_df(spark, 60, mega_conv_count=1, mega_conv_size=200,
-                        partitions=8)
+                        partitions=8).persist()
     return run_extraction(df, partitions=8, salt_threshold=100, n_salt=4)
 
 

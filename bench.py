@@ -123,6 +123,7 @@ def main() -> None:
     def bench(name, fn):
         if ONLY and name not in ONLY:
             return
+        spark.catalog.clearCache()  # query-internal persists must not leak
         t0 = time.perf_counter()
         fn()
         dt = time.perf_counter() - t0

@@ -81,6 +81,7 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        spark.catalog.clearCache()  # query-internal persists must not leak
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001

@@ -80,7 +80,14 @@ def extract_pdfish_many(payloads: Sequence[str]) -> List[Result]:
             results[i] = extract_pdfish(p)
             continue
         chs = toks[1::6]
-        if set(toks[0::6]) != {"g"} or max(map(len, chs)) != 1:
+        # per-line arity: with single-space separation guaranteed above,
+        # exactly 5 spaces per line <=> exactly 6 tokens per line; without
+        # this, a 10-token line + a 2-token line can masquerade as aligned
+        if (
+            set(toks[0::6]) != {"g"}
+            or max(map(len, chs)) != 1
+            or not all(ln.count(" ") == 5 for ln in lines)
+        ):
             results[i] = extract_pdfish(p)
             continue
         pids.append(i)
@@ -113,7 +120,8 @@ def extract_pdfish_many(payloads: Sequence[str]) -> List[Result]:
         return results
     nums = nums.reshape(G, 4)
     x, y, wd, ht = nums[:, 0], nums[:, 1], nums[:, 2], nums[:, 3]
-    if y.min() < 0:
+    if y.min() < 0 or ht.min() < 0:  # negative bands would break the
+        # pid*big keying and leak glyphs across payloads
         for i in pids:
             results[i] = extract_pdfish(payloads[i])
         return results

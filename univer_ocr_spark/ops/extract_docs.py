@@ -52,7 +52,13 @@ def extract_html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sanitize(F.col("text")),
         F.lit('</p><footer><a href="/tos">terms</a> (c) example</footer></body></html>'),
     )
-    wrapped = d.select("doc_id", payload.alias("text"))
+    # whitespace-only docs would extract to '' (an empty block is not main)
+    # while the oracle returns the text verbatim — exclude them identically
+    # on both sides (none exist in the shipped testdata; this guards
+    # regenerated data)
+    wrapped = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", payload.alias("text")
+    )
     return (
         extract_stage(wrapped)
         .select("doc_id", "extracted_text")
@@ -62,7 +68,7 @@ def extract_html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRACT_HTML_DOCS_SQL = f"""
 SELECT doc_id, {_SANITIZE_SQL} AS extracted_text
-FROM documents ORDER BY doc_id
+FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id
 """
 
 
@@ -152,7 +158,9 @@ def extract_html_blocks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sanitize(F.col("text")),
         F.lit("</p></body></html>"),
     )
-    wrapped = d.select("doc_id", payload.alias("text"))
+    wrapped = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", payload.alias("text")
+    )
     out = extract_stage(wrapped)
     return out.select(
         "doc_id",
@@ -165,7 +173,7 @@ def extract_html_blocks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXTRACT_HTML_BLOCKS_SQL = f"""
 SELECT doc_id, 2 AS n_units, 2 AS n_spans,
        'doc' || chr(10) || {_SANITIZE_SQL} AS extracted_text
-FROM documents ORDER BY doc_id
+FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id
 """
 
 

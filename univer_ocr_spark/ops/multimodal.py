@@ -55,17 +55,11 @@ FROM documents ORDER BY doc_id
 
 
 def _decode_stub(payload: bytes) -> List[float]:
-    """Deterministic fake decoder. Real deployment: decode image/audio and
-    extract features here (PIL / torchvision / librosa); gated import below
-    keeps the plumbing testable without the codec libs."""
-    try:  # pragma: no cover - codec libs absent in this container
-        import PIL  # noqa: F401
-
-        raise NotImplementedError(
-            "real image decode not wired in-container; using fake features"
-        )
-    except ImportError:
-        pass
+    """Deterministic fake decoder. Real deployment swaps this body for a
+    PIL / torchvision / librosa decode+featurize; the Spark-side plumbing
+    (binary column, Arrow batch shape, schema) is identical either way.
+    Intentionally never raises — codec availability must not change
+    behavior of the stub."""
     head = payload[:FEATURE_DIM]
     return [b / 255.0 for b in head] + [0.0] * (FEATURE_DIM - len(head))
 

@@ -20,7 +20,7 @@ def build_zip(dest_path: str | None = None) -> str:
             tempfile.gettempdir(), "univer_ocr_spark_pyfiles.zip"
         )
     pkg_root = os.path.join(_REPO_ROOT, "univer_ocr_spark")
-    tmp = dest_path + ".tmp"
+    tmp = f"{dest_path}.tmp.{os.getpid()}"  # pid-unique: concurrent sessions must not race
     with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
         for dirpath, _dirs, files in os.walk(pkg_root):
             if "__pycache__" in dirpath:

@@ -21,9 +21,14 @@ def get_spark(master: str | None = None, app_name: str = "univer_ocr_spark",
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         # match core count in local mode — 200 default just adds scheduling
-        # overhead with no skew benefit at this scale
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
-        shuffle_partitions = cpus if n == "*" else int(n)
+        # overhead with no skew benefit at this scale. Handles
+        # local[N], local[N,maxFailures], local[*], and non-local masters.
+        inside = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        first = inside.split(",")[0].strip()
+        try:
+            shuffle_partitions = cpus if first in ("", "*") else int(first)
+        except ValueError:
+            shuffle_partitions = cpus
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)

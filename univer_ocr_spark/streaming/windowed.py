@@ -48,14 +48,16 @@ def windowed_event_counts_stream(
     q.awaitTermination()
 
 
-def windowed_event_counts_batch(spark: SparkSession, input_dir: str) -> DataFrame:
-    """The batch twin — streaming output (closed windows) must match it."""
+def windowed_event_counts_batch(spark: SparkSession, input_dir: str,
+                                window: str = "1 hour") -> DataFrame:
+    """The batch twin — streaming output (closed windows) must match it for
+    the SAME window size."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(input_dir).withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
     return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        ev.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
         .select(
             F.col("w.start").alias("w_start"),
