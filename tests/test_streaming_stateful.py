@@ -1,0 +1,39 @@
+"""Stateful streaming sessionization must equal the batch window-function
+sessionization, with state genuinely carried across micro-batches (input is
+split into two time-ordered files, one per trigger)."""
+
+from __future__ import annotations
+
+from univer_ocr_spark.ops.relational import q_sessionize_events
+from univer_ocr_spark.streaming.stateful import (
+    final_session_counts,
+    stateful_sessionize_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    import time
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").orderBy("ts")
+    n = ev.count()
+    src = str(tmp_path / "src")
+    # two time-ordered halves -> two micro-batches; sessions spanning the
+    # cut prove state carries across triggers
+    first = ev.limit(n // 2)
+    second = ev.subtract(first)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.1)  # distinct mtimes: file order = trigger order
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    stateful_sessionize_stream(spark, src, query_name="sess_test")
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in final_session_counts(spark, "sess_test").collect()
+    }
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in q_sessionize_events(spark, SF).collect()
+    }
+    assert got == want

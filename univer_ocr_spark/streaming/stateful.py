@@ -1,0 +1,93 @@
+"""Custom stateful streaming operator: per-user gap-based sessionization
+with ``applyInPandasWithState`` — session state (last event time, session
+count, event count) survives across micro-batches.
+
+This is the streaming twin of ops/relational.q_sessionize_events (A6 — the
+interval-merge semantics, ref: interpreter.py:494-502) and the designated
+extension point for custom stateful operators the mission brief calls for.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_US = 1800 * 1_000_000
+
+OUTPUT_SCHEMA = "user_id long, n_sessions long, n_events long"
+STATE_SCHEMA = "last_us long, n_sessions long, n_events long"
+
+
+def _update_sessions(
+    key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    last_us, n_sessions, n_events = (
+        state.get if state.exists else (-1, 0, 0)
+    )
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["us", "event_id"])
+    for us in rows["us"].tolist():
+        if last_us < 0 or us - last_us > SESSION_GAP_US:
+            n_sessions += 1
+        last_us = us
+        n_events += 1
+    state.update((int(last_us), int(n_sessions), int(n_events)))
+    yield pd.DataFrame(
+        [{"user_id": user_id, "n_sessions": n_sessions, "n_events": n_events}]
+    )
+
+
+def stateful_sessionize_stream(
+    spark: SparkSession,
+    input_dir: str,
+    query_name: str = "sessions",
+) -> None:
+    """Stream events (one file per micro-batch) → stateful sessionization →
+    memory sink (update mode); blocks until drained. The final row per user
+    (max n_events) is the complete sessionization."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(input_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # state must carry across batches
+        .parquet(input_dir)
+    )
+    ev = src.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _update_sessions,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def final_session_counts(spark: SparkSession, query_name: str = "sessions") -> DataFrame:
+    """Last update per user = the completed sessionization."""
+    from pyspark.sql import Window as W
+
+    t = spark.table(query_name)
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        t.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "n_sessions", "n_events")
+        .orderBy("user_id")
+    )
