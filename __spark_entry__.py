@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot_returnflag": relational.q_pivot_returnflag,
         "q_rollup_counts": relational.q_rollup_counts,
         "q_events_within_hour": relational.q_events_within_hour,
+        "q_acctbal_histogram": relational.q_acctbal_histogram,
         # text analysis (training-data pipeline ops)
         "doc_token_stats": textstats.doc_token_stats,
         "doc_lang_heuristic": textstats.doc_lang_heuristic,
@@ -177,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pivot_returnflag": relational.Q_PIVOT_SQL,
         "q_rollup_counts": relational.Q_ROLLUP_SQL,
         "q_events_within_hour": relational.Q_EVENTS_WITHIN_HOUR_SQL,
+        "q_acctbal_histogram": relational.Q_ACCTBAL_HISTOGRAM_SQL,
         "doc_token_stats": textstats.DOC_TOKEN_STATS_SQL,
         "doc_lang_heuristic": textstats.doc_lang_oracle_sql(),
         "doc_quality_score": textstats.DOC_QUALITY_SQL,
@@ -206,7 +208,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM (VALUES"
             " ('html', CAST(443 AS BIGINT), CAST(0 AS BIGINT), CAST(443 AS BIGINT), CAST(4058 AS BIGINT)),"
             " ('pdfish', 224, 0, 224, 23240),"
-            " ('toolmarkup', 225, 0, 225, 2391)"
+            " ('toolmarkup', 225, 0, 225, 2419)"
             ") AS t(kind, n_turns, n_empty, n_text_match, total_spans)"
             " ORDER BY kind"
         ),
@@ -214,7 +216,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(892 AS BIGINT) AS n_turns,"
             " CAST(892 AS BIGINT) AS n_matching,"
             " CAST(3342 AS BIGINT) AS total_units,"
-            " CAST(29689 AS BIGINT) AS total_spans,"
-            " CAST(240292 AS BIGINT) AS total_chars"
+            " CAST(29717 AS BIGINT) AS total_spans,"
+            " CAST(240106 AS BIGINT) AS total_chars"
         ),
     }

@@ -22,6 +22,12 @@ from univer_ocr_spark.spans import Span
 
 _ANSI_RE = re.compile(r"\x1b\[[0-9;]*[A-Za-z]")
 
+# JSON stdout envelope (FIXTURES §2c): the machine wrapper is structure, the
+# inner string is content. Only unescaped-safe content is generated (the
+# alphabet excludes '"' and '\\'), so the inner slice stays verbatim.
+_ENV_PRE = '{"stdout": "'
+_ENV_POST = '"}'
+
 
 def _is_dropped_line(line: str) -> bool:
     return line.startswith(ESC + "[2K") or line.startswith("```")
@@ -39,12 +45,20 @@ def extract_markup(payload: str) -> Tuple[str, List[Span]]:
         line_end = n if nl == -1 else nl
         line = payload[line_start:line_end]
         if not _is_dropped_line(line) and line:
+            # JSON envelope: strip the wrapper, scan only the inner string
+            if line.startswith(_ENV_PRE) and line.endswith(_ENV_POST) and len(
+                line
+            ) > len(_ENV_PRE) + len(_ENV_POST) - 1:
+                content = line[len(_ENV_PRE) : -len(_ENV_POST)]
+                base = line_start + len(_ENV_PRE)
+            else:
+                content, base = line, line_start
             # fast path: a pure-ASCII line with no ESC cannot contain a
             # Cyrillic confusable or the BLANK sentinel — everything is kept
             # verbatim (one span). C-level checks only.
-            if ESC not in line and line.isascii():
-                spans.append((unit, line_start, line_end))
-                unit_texts.append(line)
+            if content and ESC not in content and content.isascii():
+                spans.append((unit, base, base + len(content)))
+                unit_texts.append(content)
                 unit += 1
                 if nl == -1:
                     break
@@ -54,11 +68,11 @@ def extract_markup(payload: str) -> Tuple[str, List[Span]]:
             runs: List[Tuple[int, int]] = []
             prev_kept: Optional[str] = None
             i = 0
-            ln = len(line)
+            ln = len(content)
             while i < ln:
-                ch = line[i]
+                ch = content[i]
                 if ch == ESC:
-                    m = _ANSI_RE.match(line, i)
+                    m = _ANSI_RE.match(content, i)
                     if m:
                         i = m.end()
                         continue
@@ -71,7 +85,7 @@ def extract_markup(payload: str) -> Tuple[str, List[Span]]:
                 if prev_kept is not None and (ch, prev_kept) in _SIMILAR_SET:
                     i += 1  # collapse lookalike echo
                     continue
-                off = line_start + i
+                off = base + i
                 if runs and runs[-1][1] == off:
                     runs[-1] = (runs[-1][0], off + 1)
                 else:

@@ -107,10 +107,17 @@ def generate_markup(rng: Random) -> Tuple[str, str, List[Span], List[Block]]:
     if rng.random() < 0.7:
         add_line("status", _status_line(rng))
     add_line("fence", f"```{ascii_word(rng, 0, 4) if rng.random() < 0.5 else ''}")
+    env_pre, env_post = '{"stdout": "', '"}'
     for _ in range(rng.randint(1, 5)):
         if rng.random() < 0.2:
             add_line("status", _status_line(rng))
         raw, gold, runs = content_line()
+        if rng.random() < 0.25 and gold:
+            # JSON stdout envelope: wrapper is structure, inner is content
+            # (alphabet excludes '"' and backslash, so no escaping needed)
+            off = len(env_pre)
+            raw = env_pre + raw + env_post
+            runs = [(a + off, b + off) for a, b in runs]
         add_line("content", raw, gold, runs)
     add_line("fence", "```")
     if rng.random() < 0.3:

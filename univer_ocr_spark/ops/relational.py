@@ -383,3 +383,26 @@ WHERE c.event_type = 'click'
 GROUP BY c.user_id, c.event_id
 ORDER BY c.user_id, click_id
 """
+
+
+def q_acctbal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram bucketing (fixed-width bins via integer floor — portable
+    across engines, unlike width_bucket variants)."""
+    cust = _t(spark, sf_dir, "customer")
+    bucket = F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+    return (
+        cust.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q_ACCTBAL_HISTOGRAM_SQL = """
+SELECT CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bucket,
+       count(*) AS n,
+       round(avg(c_acctbal), 4) AS avg_bal
+FROM customer GROUP BY 1 ORDER BY bucket
+"""
