@@ -9,7 +9,18 @@ Re-expresses the reference's mask pipeline relationally:
   (ref: interpreter.py:17), here Boilerpipe/Readability-style.
 
 Deterministic, integer-arithmetic only. Operates on the generated HTML
-dialect: no entities, no ``<`` inside attribute values or raw-text elements.
+dialect: no entities, no ``<``/``>`` inside attribute values or raw-text
+elements.
+
+Design tradeoff (documented, not accidental): spans are VERBATIM payload
+slices — the invariant ``payload[start:end]`` == emitted text piece is what
+makes the span contract auditable at 10^12 rows. Entity decoding
+(``&amp;`` → ``&``) would break that 1:1 mapping; supporting it would mean
+per-span decoded/raw text pairs. Real-world HTML with entities degrades
+gracefully: the entity appears verbatim in the output, nothing crashes
+(fuzz-tested), and the block/link-density classification is unaffected.
+Attribute values containing ``>`` mis-split the tag regex for that one tag;
+the failure mode is a garbled text node on that row, never a task failure.
 """
 
 from __future__ import annotations

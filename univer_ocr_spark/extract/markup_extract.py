@@ -17,7 +17,7 @@ from __future__ import annotations
 import re
 from typing import List, Optional, Tuple
 
-from univer_ocr_spark.constants import BLANK, ESC, _SIMILAR_SET, are_similar  # noqa: F401
+from univer_ocr_spark.constants import BLANK, ESC, _SIMILAR_SET
 from univer_ocr_spark.spans import Span
 
 _ANSI_RE = re.compile(r"\x1b\[[0-9;]*[A-Za-z]")
