@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # stubbed decode → deterministic fake features (rows-only check;
             # no SQL oracle for the decode stage by design)
             "multimodal_features": _with_pkg(multimodal.multimodal_features),
+            # grouped-map pandas UDAF needs the package on workers too
+            "q_user_median_pandas": _with_pkg(relational.q_user_median_pandas),
         }
     )
     return qs
@@ -179,6 +181,7 @@ def oracle_sql() -> dict[str, str]:
         "q_rollup_counts": relational.Q_ROLLUP_SQL,
         "q_events_within_hour": relational.Q_EVENTS_WITHIN_HOUR_SQL,
         "q_acctbal_histogram": relational.Q_ACCTBAL_HISTOGRAM_SQL,
+        "q_user_median_pandas": relational.Q_USER_MEDIAN_SQL,
         "doc_token_stats": textstats.DOC_TOKEN_STATS_SQL,
         "doc_lang_heuristic": textstats.doc_lang_oracle_sql(),
         "doc_quality_score": textstats.DOC_QUALITY_SQL,

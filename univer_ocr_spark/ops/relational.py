@@ -406,3 +406,37 @@ SELECT CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bucket,
        round(avg(c_acctbal), 4) AS avg_bal
 FROM customer GROUP BY 1 ORDER BY bucket
 """
+
+
+def q_user_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF via ``applyInPandas`` (the U1/U2 extensibility
+    surface, ref: model_system.py:12-39): per-user median event value — a
+    holistic aggregate Spark built-ins only approximate. The group is a
+    pandas frame; the oracle is DuckDB's exact median."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+
+    def per_user(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": int(pdf["user_id"].iloc[0]),
+                    "n_events": len(pdf),
+                    "median_value": round(float(pdf["value"].median()), 4),
+                }
+            ]
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(per_user, schema="user_id long, n_events long, median_value double")
+        .orderBy("user_id")
+    )
+
+
+Q_USER_MEDIAN_SQL = """
+SELECT user_id, count(*) AS n_events,
+       round(median(value), 4) AS median_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
