@@ -51,6 +51,7 @@ def extract_pdfish_many(payloads: Sequence[str]) -> List[Result]:
     all_chs: List[str] = []
     counts: List[int] = []
     hdr_len: List[int] = []
+    page_ws: List[int] = []
     page_hs: List[int] = []
     num_toks: List[str] = []
     for i, p in enumerate(payloads):
@@ -60,7 +61,7 @@ def extract_pdfish_many(payloads: Sequence[str]) -> List[Result]:
             results[i] = extract_pdfish(p)
             continue
         try:
-            page_h = int(hdr[2])
+            page_w, page_h = int(hdr[1]), int(hdr[2])
         except ValueError:
             results[i] = extract_pdfish(p)
             continue
@@ -98,6 +99,7 @@ def extract_pdfish_many(payloads: Sequence[str]) -> List[Result]:
         del toks[0::5]  # drop <ch> (now at stride-5 position 0)
         num_toks.extend(toks)
         hdr_len.append(nl + 1)
+        page_ws.append(page_w)
         page_hs.append(page_h)
 
     if not pids:
@@ -120,11 +122,27 @@ def extract_pdfish_many(payloads: Sequence[str]) -> List[Result]:
         return results
     nums = nums.reshape(G, 4)
     x, y, wd, ht = nums[:, 0], nums[:, 1], nums[:, 2], nums[:, 3]
-    if y.min() < 0 or ht.min() < 0:  # negative bands would break the
-        # pid*big keying and leak glyphs across payloads
+    if min(y.min(), ht.min(), x.min(), wd.min()) < 0:  # negative coords or
+        # extents would break the pid*big band keying → tolerant path
         for i in pids:
             results[i] = extract_pdfish(payloads[i])
         return results
+
+    # per-payload orientation vote (A9 analog): rotated pages have glyphs
+    # wider than tall; swap axes so the portrait pipeline handles both
+    wd_sum = np.add.reduceat(wd, gstart)
+    ht_sum = np.add.reduceat(ht, gstart)
+    rot_pid = wd_sum > ht_sum
+    if rot_pid.any():
+        rot_g = np.repeat(rot_pid, cnt)
+        shift = int((x + wd).max()) + 1
+        bx = np.where(rot_g, y, x)                 # reading coord
+        by = np.where(rot_g, shift - (x + wd), y)  # band coord (kept >= 0)
+        bw = np.where(rot_g, ht, wd)               # reading extent
+        bh = np.where(rot_g, wd, ht)               # band extent
+    else:
+        shift = 0
+        bx, by, bw, bh = x, y, wd, ht
 
     # ---- char offsets into each raw payload
     lens = np.fromiter(map(len, all_lines), dtype=np.int64, count=G)
@@ -134,12 +152,12 @@ def extract_pdfish_many(payloads: Sequence[str]) -> List[Result]:
     offs = starts_rel + np.repeat(base, cnt) + 2
 
     # ---- interval-union clustering per payload (pid*BIG keying keeps
-    # payloads from ever merging; validated y >= 0 above)
-    end_y = y + ht
+    # payloads from ever merging; coords validated non-negative above)
+    end_y = by + bh
     big = int(end_y.max()) + 1
-    ykey = y + pid * big
+    ykey = by + pid * big
     endkey = end_y + pid * big
-    order = np.lexsort((x, ykey))
+    order = np.lexsort((bx, ykey))
     yk_s = ykey[order]
     run_end = np.maximum.accumulate(endkey[order])
     brk = np.empty(G, dtype=bool)
@@ -148,14 +166,20 @@ def extract_pdfish_many(payloads: Sequence[str]) -> List[Result]:
     band = np.cumsum(brk) - 1  # global band id (pid-contiguous)
 
     brk_idx = np.flatnonzero(brk)
-    band_lo = y[order][brk_idx]
+    band_lo = by[order][brk_idx]
     band_hi = np.maximum.reduceat(end_y[order], brk_idx)
     band_pid = pid[order][brk_idx]
-    ph = np.asarray(page_hs, dtype=np.int64)[band_pid]
-    c2 = band_lo + band_hi
+    band_rot = rot_pid[band_pid] if rot_pid.any() else np.zeros(len(band_pid), bool)
+    dim = np.where(
+        band_rot,
+        np.asarray(page_ws, dtype=np.int64)[band_pid],
+        np.asarray(page_hs, dtype=np.int64)[band_pid],
+    )
+    # rotated band coords were mapped through shift-(x+wd): map centers back
+    c2 = np.where(band_rot, 2 * shift - (band_lo + band_hi), band_lo + band_hi)
     keep_band = ~(
-        (PDFISH_MARGIN_DEN * c2 < 2 * PDFISH_MARGIN_NUM * ph)
-        | (PDFISH_MARGIN_DEN * c2 > 2 * (PDFISH_MARGIN_DEN - PDFISH_MARGIN_NUM) * ph)
+        (PDFISH_MARGIN_DEN * c2 < 2 * PDFISH_MARGIN_NUM * dim)
+        | (PDFISH_MARGIN_DEN * c2 > 2 * (PDFISH_MARGIN_DEN - PDFISH_MARGIN_NUM) * dim)
     )
     kept_cum = np.cumsum(keep_band)
     first_band = np.searchsorted(band_pid, np.arange(P))
@@ -163,10 +187,10 @@ def extract_pdfish_many(payloads: Sequence[str]) -> List[Result]:
     unit_of_band = kept_cum - 1 - pid_base[band_pid]  # unit id within payload
 
     # ---- reading order (band, x) + word-gap spaces
-    ord2 = np.lexsort((x[order], band))
+    ord2 = np.lexsort((bx[order], band))
     g2 = order[ord2]  # original glyph index in reading order
     band2 = band[ord2]
-    x2, w2 = x[g2], wd[g2]
+    x2, w2 = bx[g2], bw[g2]
     same = np.empty(G, dtype=bool)
     same[0] = False
     same[1:] = band2[1:] == band2[:-1]

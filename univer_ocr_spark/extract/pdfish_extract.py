@@ -95,17 +95,37 @@ def extract_pdfish(payload: str) -> Tuple[str, List[Span]]:
     (extract/pdfish_batch.py) — NumPy only pays off across thousands of
     turns at once; per payload this pure-Python path is faster.
     """
-    _w, page_h, glyphs = parse_glyphs(payload)
+    page_w, page_h, glyphs = parse_glyphs(payload)
+
+    # Orientation vote (A9 analog, ref: interpreter.py:55-78): a 90°-rotated
+    # page flips every glyph's aspect ratio. Portrait glyphs are taller than
+    # wide; if the population is wider than tall, read bands along x.
+    rotated = bool(glyphs) and (
+        sum(g[1][2] for g in glyphs) > sum(g[1][3] for g in glyphs)
+    )
+    if rotated:
+        # map to the portrait pipeline: band coord = -(x+wd) (so top line of
+        # the original page, at max x after CW rotation, sorts first),
+        # reading coord = y, reading extent = ht, band extent = wd
+        glyphs = [
+            (ch, (y, -(x + wd), ht, wd, off))
+            for ch, (x, y, wd, ht, off) in glyphs
+        ]
+        dim = page_w
+    else:
+        dim = page_h
+
     spans: List[Span] = []
     unit_texts: List[str] = []
     unit = 0
     for band_lo, band_hi, members in cluster_lines(glyphs):
-        # margin strip: drop if center < h/10 or center > 9h/10 (integers)
-        c2 = band_lo + band_hi  # = 2 * center
+        # margin strip: drop if center < dim/10 or center > 9*dim/10
+        # (integers); rotated band coords are negated → negate back
+        c2 = -(band_lo + band_hi) if rotated else band_lo + band_hi
         if (
-            PDFISH_MARGIN_DEN * c2 < 2 * PDFISH_MARGIN_NUM * page_h
+            PDFISH_MARGIN_DEN * c2 < 2 * PDFISH_MARGIN_NUM * dim
             or PDFISH_MARGIN_DEN * c2
-            > 2 * (PDFISH_MARGIN_DEN - PDFISH_MARGIN_NUM) * page_h
+            > 2 * (PDFISH_MARGIN_DEN - PDFISH_MARGIN_NUM) * dim
         ):
             continue
         members.sort(key=lambda g: g[1][0])  # by x

@@ -45,7 +45,15 @@ def _lay_line(rng: Random, y: int) -> Tuple[List[Tuple[str, int, int]], str]:
 
 
 def generate_pdfish(rng: Random) -> Tuple[str, str, List[Span], List[Block]]:
-    """Return (payload, gold_text, gold_spans, gold_blocks)."""
+    """Return (payload, gold_text, gold_spans, gold_blocks).
+
+    ~25% of pages are stored rotated 90° clockwise (the scanned-sideways
+    case the reference's rotation search handles, ref: interpreter.py:320-338
+    W6 + orientation vote A9): every glyph box is rotated, the page header
+    carries the swapped dimensions, and the expected text is unchanged — the
+    extractor must detect the orientation (glyph aspect flips) and read
+    bands along x instead of y.
+    """
     # (ch, x, y, is_main, unit)
     glyphs: List[Tuple[str, int, int, bool, int]] = []
     gold_lines: List[str] = []
@@ -66,15 +74,26 @@ def generate_pdfish(rng: Random) -> Tuple[str, str, List[Span], List[Block]]:
 
     order = list(range(len(glyphs)))
     rng.shuffle(order)
+    rotated = rng.random() < 0.25
 
-    parts = [f"{PDFISH_MAGIC} {PAGE_W} {PAGE_H}\n"]
+    if rotated:  # 90° CW: box [x,x+w)×[y,y+h) → [H-(y+h), H-y)×[x, x+w)
+        header = f"{PDFISH_MAGIC} {PAGE_H} {PAGE_W}\n"
+    else:
+        header = f"{PDFISH_MAGIC} {PAGE_W} {PAGE_H}\n"
+    parts = [header]
     pos = len(parts[0])
     # collect (unit, x, char_offset) for main glyphs; sort to reading order
+    # (keys stay in PORTRAIT coordinates — reading order is invariant)
     main_offsets: List[Tuple[int, int, int]] = []
     line_extent: dict = {}  # unit -> [min_off, max_off]
     for gi in order:
         ch, x, y, is_main, unit = glyphs[gi]
-        rec = f"g {ch} {x} {y} {GLYPH_W} {GLYPH_H}\n"
+        if rotated:
+            rec = (
+                f"g {ch} {PAGE_H - (y + GLYPH_H)} {x} {GLYPH_H} {GLYPH_W}\n"
+            )
+        else:
+            rec = f"g {ch} {x} {y} {GLYPH_W} {GLYPH_H}\n"
         off = pos + 2  # offset of <ch> inside the record
         parts.append(rec)
         pos += len(rec)
