@@ -209,7 +209,7 @@ def oracle_sql() -> dict[str, str]:
         # text+span equality across the whole pipeline via the driver's gate
         "extraction_qa": (
             "SELECT * FROM (VALUES"
-            " ('html', CAST(443 AS BIGINT), CAST(0 AS BIGINT), CAST(443 AS BIGINT), CAST(4058 AS BIGINT)),"
+            " ('html', CAST(443 AS BIGINT), CAST(0 AS BIGINT), CAST(443 AS BIGINT), CAST(5232 AS BIGINT)),"
             " ('pdfish', 224, 0, 224, 23240),"
             " ('toolmarkup', 225, 0, 225, 2419)"
             ") AS t(kind, n_turns, n_empty, n_text_match, total_spans)"
@@ -218,8 +218,8 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_extract_summary": (
             "SELECT CAST(892 AS BIGINT) AS n_turns,"
             " CAST(892 AS BIGINT) AS n_matching,"
-            " CAST(3342 AS BIGINT) AS total_units,"
-            " CAST(29717 AS BIGINT) AS total_spans,"
-            " CAST(240106 AS BIGINT) AS total_chars"
+            " CAST(3878 AS BIGINT) AS total_units,"
+            " CAST(30891 AS BIGINT) AS total_spans,"
+            " CAST(305344 AS BIGINT) AS total_chars"
         ),
     }

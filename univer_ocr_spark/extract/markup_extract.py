@@ -53,6 +53,8 @@ def extract_markup(payload: str) -> Tuple[str, List[Span]]:
                 base = line_start + len(_ENV_PRE)
             else:
                 content, base = line, line_start
+            if content.endswith("\r"):  # CRLF input: \r is structure
+                content = content[:-1]
             # fast path: a pure-ASCII line with no ESC cannot contain a
             # Cyrillic confusable or the BLANK sentinel — everything is kept
             # verbatim (one span). C-level checks only.

@@ -55,7 +55,7 @@ class _Builder:
 
 def _main_block(b: _Builder, rng: Random, tag: str, spans: List[Span], unit: int) -> Tuple[str, int, int]:
     """Emit one main-content block; return (golden_text, start, end)."""
-    open_tag = f"<ul><li>" if tag == "li" else f"<{tag}>"
+    open_tag = "<ul><li>" if tag == "li" else f"<{tag}>"
     close_tag = "</li></ul>" if tag == "li" else f"</{tag}>"
     b.add(open_tag)
     block_start = b.pos
@@ -176,6 +176,30 @@ def generate_html(rng: Random) -> Tuple[str, str, List[Span], List[Block]]:
     for item in plan:
         b.add("\n")
         if item == "main":
+            r = rng.random()
+            if r < 0.12:
+                # nested container: text attaches to the INNERMOST blocks
+                # (the two <p>s), the outer blockquote contributes none
+                b.add("<blockquote>")
+                for _ in range(2):
+                    text, s, e = _main_block(b, rng, "p", spans, unit)
+                    gold_units.append(text)
+                    blocks.append((block_id, 0, "p", True, s, e))
+                    unit += 1
+                b.add("</blockquote>")
+                block_id += 1
+                continue
+            if r < 0.24:
+                # table row: one unit per <td> cell
+                b.add("<table><tr>")
+                for _ in range(rng.randint(2, 3)):
+                    text, s, e = _main_block(b, rng, "td", spans, unit)
+                    gold_units.append(text)
+                    blocks.append((block_id, 0, "td", True, s, e))
+                    unit += 1
+                b.add("</tr></table>")
+                block_id += 1
+                continue
             tag = rng.choice(main_tags)
             text, s, e = _main_block(b, rng, tag, spans, unit)
             gold_units.append(text)
