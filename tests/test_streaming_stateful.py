@@ -16,13 +16,20 @@ SF = "/root/testdata/sf0.001"
 def test_stateful_sessionize_matches_batch(spark, tmp_path):
     import time
 
-    ev = spark.read.parquet(f"{SF}/events.parquet").orderBy("ts")
+    from pyspark.sql import Window as W, functions as F
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
     n = ev.count()
     src = str(tmp_path / "src")
     # two time-ordered halves -> two micro-batches; sessions spanning the
-    # cut prove state carries across triggers
-    first = ev.limit(n // 2)
-    second = ev.subtract(first)
+    # cut prove state carries across triggers. Deterministic split: a
+    # row_number over a total order (limit+subtract would re-evaluate a
+    # nondeterministic limit and EXCEPT-dedup identical rows)
+    ranked = ev.withColumn(
+        "_rn", F.row_number().over(W.orderBy("ts", "event_id"))
+    )
+    first = ranked.filter(F.col("_rn") <= n // 2).drop("_rn")
+    second = ranked.filter(F.col("_rn") > n // 2).drop("_rn")
     first.coalesce(1).write.mode("overwrite").parquet(src)
     time.sleep(1.1)  # distinct mtimes: file order = trigger order
     second.coalesce(1).write.mode("append").parquet(src)

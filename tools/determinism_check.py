@@ -16,7 +16,7 @@ import tempfile
 
 WORKER = r"""
 import hashlib, sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, sys.argv[2])
 from pyspark.sql import functions as F
 from univer_ocr_spark.spark.session import get_spark
 from univer_ocr_spark.generator.transcripts import transcripts_df
@@ -41,13 +41,22 @@ spark.stop()
 """
 
 
+REPO = __import__("os").path.dirname(__import__("os").path.dirname(
+    __import__("os").path.abspath(__file__)))
+
+
 def run(cpus: int) -> str:
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
         f.write(WORKER)
         path = f.name
-    out = subprocess.run(
-        [sys.executable, path, str(cpus)], capture_output=True, text=True, check=True
-    )
+    try:
+        out = subprocess.run(
+            [sys.executable, path, str(cpus), REPO],
+            capture_output=True, text=True, check=True,
+        )
+    finally:
+        import os
+        os.unlink(path)
     for line in out.stdout.splitlines():
         if line.startswith("HASH"):
             return line

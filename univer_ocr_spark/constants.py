@@ -86,6 +86,9 @@ PDFISH_SPACE_NUM = 1
 PDFISH_SPACE_DEN = 2
 
 
+SESSION_GAP_SECONDS = 1800  # gap that starts a new session (batch + streaming)
+
+
 def turn_seed(conv_id: str, turn_idx: int, global_seed: int = GLOBAL_SEED) -> int:
     """Deterministic per-turn seed, independent of process/hash-seed/partitioning.
 

@@ -44,6 +44,8 @@ def extract_markup(payload: str) -> Tuple[str, List[Span]]:
         nl = payload.find("\n", line_start)
         line_end = n if nl == -1 else nl
         line = payload[line_start:line_end]
+        if line.endswith("\r"):  # CRLF input: \r is structure, strip it
+            line = line[:-1]     # BEFORE envelope detection (endswith '"}')
         if not _is_dropped_line(line) and line:
             # JSON envelope: strip the wrapper, scan only the inner string
             if line.startswith(_ENV_PRE) and line.endswith(_ENV_POST) and len(
@@ -53,8 +55,6 @@ def extract_markup(payload: str) -> Tuple[str, List[Span]]:
                 base = line_start + len(_ENV_PRE)
             else:
                 content, base = line, line_start
-            if content.endswith("\r"):  # CRLF input: \r is structure
-                content = content[:-1]
             # fast path: a pure-ASCII line with no ESC cannot contain a
             # Cyrillic confusable or the BLANK sentinel — everything is kept
             # verbatim (one span). C-level checks only.

@@ -77,13 +77,20 @@ def extract_markup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction stage. Expected = text with newlines flattened (content is
     ASCII → no confusable collapse fires)."""
     d = _docs(spark, sf_dir)
-    flat = F.replace(F.col("text"), F.lit("\n"), F.lit(" "))
+    flat = F.replace(
+        F.replace(F.col("text"), F.lit("\n"), F.lit(" ")),
+        F.lit("\r"), F.lit(" "),
+    )
     payload = F.concat(
         F.lit("\x1b[2K\x1b[32m[ok] fetch done\x1b[0m\n```\n"),
         flat,
         F.lit("\n```\n\x1b[2K[exit 0]"),
     )
-    wrapped = d.select("doc_id", payload.alias("text"))
+    # envelope-shaped doc text would be unwrapped by the extractor while the
+    # oracle keeps it verbatim — exclude identically on both sides
+    wrapped = d.filter(
+        ~(flat.startswith('{"stdout": "') & flat.endswith('"}'))
+    ).select("doc_id", payload.alias("text"))
     return (
         extract_stage(wrapped)
         .select("doc_id", "extracted_text")
@@ -92,8 +99,11 @@ def extract_markup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRACT_MARKUP_DOCS_SQL = """
-SELECT doc_id, replace(text, chr(10), ' ') AS extracted_text
-FROM documents ORDER BY doc_id
+SELECT doc_id, replace(replace(text, chr(10), ' '), chr(13), ' ') AS extracted_text
+FROM documents
+WHERE NOT (replace(replace(text, chr(10), ' '), chr(13), ' ') LIKE '{"stdout": "%'
+           AND replace(replace(text, chr(10), ' '), chr(13), ' ') LIKE '%"}')
+ORDER BY doc_id
 """
 
 
@@ -183,12 +193,17 @@ def extract_markup_collapse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse removes, ref: primitives/__init__.py:16-42); extraction must
     recover the original text exactly."""
     d = _docs(spark, sf_dir)
-    flat = F.replace(F.col("text"), F.lit("\n"), F.lit(" "))
+    flat = F.replace(
+        F.replace(F.col("text"), F.lit("\n"), F.lit(" ")),
+        F.lit("\r"), F.lit(" "),
+    )
     noisy = F.replace(flat, F.lit("a"), F.lit("aа"))
     payload = F.concat(
         F.lit("\x1b[2K[fetching]\n```\n"), noisy, F.lit("\n```")
     )
-    wrapped = d.select("doc_id", payload.alias("text"))
+    wrapped = d.filter(
+        ~(flat.startswith('{"stdout": "') & flat.endswith('"}'))
+    ).select("doc_id", payload.alias("text"))
     return (
         extract_stage(wrapped)
         .select("doc_id", "extracted_text")
@@ -197,6 +212,9 @@ def extract_markup_collapse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRACT_MARKUP_COLLAPSE_SQL = """
-SELECT doc_id, replace(text, chr(10), ' ') AS extracted_text
-FROM documents ORDER BY doc_id
+SELECT doc_id, replace(replace(text, chr(10), ' '), chr(13), ' ') AS extracted_text
+FROM documents
+WHERE NOT (replace(replace(text, chr(10), ' '), chr(13), ' ') LIKE '{"stdout": "%'
+           AND replace(replace(text, chr(10), ' '), chr(13), ' ') LIKE '%"}')
+ORDER BY doc_id
 """

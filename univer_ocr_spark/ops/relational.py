@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from univer_ocr_spark.constants import SESSION_GAP_SECONDS
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # NTZ->TZ casts (unix_micros) depend on the session timezone; pin UTC so
@@ -161,7 +163,7 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_sess",
             F.when(
                 F.col("prev_ts").isNull()
-                | (F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(F.col("prev_ts").cast("timestamp")) > 1800 * 1_000_000),
+                | (F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(F.col("prev_ts").cast("timestamp")) > SESSION_GAP_SECONDS * 1_000_000),
                 F.lit(1),
             ).otherwise(F.lit(0)),
         )
@@ -178,11 +180,11 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_SESSIONIZE_SQL = """
+Q_SESSIONIZE_SQL = f"""
 WITH flagged AS (
   SELECT user_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_SECONDS} * 1000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -423,16 +425,17 @@ def q_user_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "user_id": int(pdf["user_id"].iloc[0]),
                     "n_events": len(pdf),
-                    "median_value": round(float(pdf["value"].median()), 4),
+                    "median_value": float(pdf["value"].median()),
                 }
             ]
         )
 
-    return (
-        ev.groupBy("user_id")
-        .applyInPandas(per_user, schema="user_id long, n_events long, median_value double")
-        .orderBy("user_id")
+    out = ev.groupBy("user_id").applyInPandas(
+        per_user, schema="user_id long, n_events long, median_value double"
     )
+    # round JVM-side (HALF_UP, matching DuckDB) — Python round() is
+    # banker's rounding and can differ on exact midpoints
+    return out.withColumn("median_value", F.round("median_value", 4)).orderBy("user_id")
 
 
 Q_USER_MEDIAN_SQL = """

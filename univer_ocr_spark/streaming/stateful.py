@@ -16,7 +16,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-SESSION_GAP_US = 1800 * 1_000_000
+from univer_ocr_spark.constants import SESSION_GAP_SECONDS
+
+SESSION_GAP_US = SESSION_GAP_SECONDS * 1_000_000
 
 OUTPUT_SCHEMA = "user_id long, n_sessions long, n_events long"
 STATE_SCHEMA = "last_us long, n_sessions long, n_events long"
