@@ -443,3 +443,86 @@ SELECT user_id, count(*) AS n_events,
        round(median(value), 4) AS median_value
 FROM events GROUP BY user_id ORDER BY user_id
 """
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 flavor: three-way join, filter both sides of the date
+    predicate, top-10 by revenue. The customer filter pushes to the scan;
+    customer broadcasts; orders⋈lineitem shuffles on the key once."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_supplier_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by holistic aggregates (nearest-first O3 family): per
+    nation, the supplier with the highest and lowest account balance."""
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("s_name", F.struct("s_acctbal", "s_suppkey")).alias("richest"),
+            F.min_by("s_name", F.struct("s_acctbal", "s_suppkey")).alias("poorest"),
+            F.round(F.max("s_acctbal"), 2).alias("max_bal"),
+            F.round(F.min("s_acctbal"), 2).alias("min_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+Q_SUPPLIER_EXTREMES_SQL = """
+WITH ranked AS (
+  SELECT n_name, s_name, s_acctbal,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY s_acctbal DESC, s_suppkey DESC) AS rmax,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY s_acctbal ASC, s_suppkey ASC) AS rmin
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+SELECT n_name,
+       max(CASE WHEN rmax = 1 THEN s_name END) AS richest,
+       max(CASE WHEN rmin = 1 THEN s_name END) AS poorest,
+       round(max(s_acctbal), 2) AS max_bal,
+       round(min(s_acctbal), 2) AS min_bal
+FROM ranked GROUP BY n_name ORDER BY n_name
+"""
