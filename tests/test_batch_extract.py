@@ -21,6 +21,12 @@ MALFORMED = [
     "%PDFISH 612 792\ng a 100 -400 8 10",  # negative y
     "%PDFISH 612 792\ng  a 100 400 8 10",  # double space
     "plain text",
+    # ADVICE r01 regressions: >int64 field must not raise OverflowError;
+    # near-int64 coords must not wrap the pid*big band keying and merge
+    # glyphs across payloads
+    "%PDFISH 100 200\ng a 1 2 3 99999999999999999999999999\n",
+    f"%PDFISH 100 200\ng b 1 {2**62} 3 4\n",
+    f"%PDFISH 100 200\ng c {2**61} 400 8 10\n",
 ]
 
 

@@ -71,6 +71,26 @@ def test_rerun_is_noop(spark, tmp_path):
     assert again == []  # fully committed job resumes to a no-op
 
 
+def test_changed_input_restaged(spark, tmp_path):
+    """Resuming a workdir against a DIFFERENT input (new snapshot id) must
+    re-stage and reprocess — never extract stale staged data."""
+    workdir = str(tmp_path / "job4")
+    df_a = transcripts_df(spark, 6, with_goldens=False)
+    assert len(run_with_manifest(spark, df_a, workdir, n_buckets=N_BUCKETS,
+                                 input_snapshot="snap-A")) == N_BUCKETS
+
+    df_b = transcripts_df(spark, 9, with_goldens=False)
+    redone = run_with_manifest(spark, df_b, workdir, n_buckets=N_BUCKETS,
+                               input_snapshot="snap-B")
+    assert len(redone) == N_BUCKETS  # old commits are stale lineage
+    # output reflects the NEW input, not the stale staged copy of df_a
+    assert _sorted_rows(read_output(spark, workdir)) == \
+        _sorted_rows(run_extraction(df_b))
+    # same snapshot again is a no-op
+    assert run_with_manifest(spark, df_b, workdir, n_buckets=N_BUCKETS,
+                             input_snapshot="snap-B") == []
+
+
 def test_stale_version_reprocessed(spark, tmp_path, monkeypatch):
     """A bucket committed under an older extraction_version is stale lineage
     and must be reprocessed on the next run."""

@@ -44,3 +44,16 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
         for r in q_sessionize_events(spark, SF).collect()
     }
     assert got == want
+
+    # out-of-order arrival: the LATER half lands first. Interval-union state
+    # must still converge to the batch answer (no split/overcounted sessions).
+    src2 = str(tmp_path / "src_ooo")
+    second.coalesce(1).write.mode("overwrite").parquet(src2)
+    time.sleep(1.1)
+    first.coalesce(1).write.mode("append").parquet(src2)
+    stateful_sessionize_stream(spark, src2, query_name="sess_ooo")
+    got_ooo = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in final_session_counts(spark, "sess_ooo").collect()
+    }
+    assert got_ooo == want

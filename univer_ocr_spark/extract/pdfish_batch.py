@@ -114,16 +114,17 @@ def extract_pdfish_many(payloads: Sequence[str]) -> List[Result]:
 
     try:
         nums = np.asarray(num_toks, dtype=np.int64)
-    except ValueError:
-        # a non-integer field somewhere: route every vector-path payload
-        # through the tolerant parser (rare, malformed data only)
+    except (ValueError, OverflowError):
+        # a non-integer or >int64 field somewhere: route every vector-path
+        # payload through the tolerant parser (rare, malformed data only)
         for i in pids:
             results[i] = extract_pdfish(payloads[i])
         return results
     nums = nums.reshape(G, 4)
     x, y, wd, ht = nums[:, 0], nums[:, 1], nums[:, 2], nums[:, 3]
-    if min(y.min(), ht.min(), x.min(), wd.min()) < 0:  # negative coords or
-        # extents would break the pid*big band keying → tolerant path
+    if min(y.min(), ht.min(), x.min(), wd.min()) < 0 or nums.max() > 2**31:
+        # negative coords/extents, or coords big enough that pid*big band
+        # keying (and shift math) could wrap int64 → tolerant per-row path
         for i in pids:
             results[i] = extract_pdfish(payloads[i])
         return results

@@ -18,9 +18,35 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from univer_ocr_spark.constants import BLANK, ESC, SIMILAR_PAIRS
 from univer_ocr_spark.spark.pipeline import extract_stage
 
 _SANITIZE_SQL = "replace(replace(replace(text, '&', '+'), '<', '('), '>', ')')"
+
+# Characters/prefixes the markup extractor TRANSFORMS while the by-
+# construction oracle keeps them verbatim: fence-looking line starts,
+# ANSI/ESC sequences, the BLANK reset sentinel, and the 17 Cyrillic
+# confusables (collapse could fire next to a Latin twin). Excluded
+# identically on both sides — none occur in shipped testdata; this guards
+# regenerated data.
+_CONFUSABLE_CYR = "".join(a for a, _ in SIMILAR_PAIRS)
+
+
+def _markup_safe(flat):
+    return ~(
+        flat.startswith("```")
+        | F.col("text").contains(ESC)
+        | F.col("text").contains(BLANK)
+        | F.col("text").rlike(f"[{_CONFUSABLE_CYR}]")
+        | (flat.startswith('{"stdout": "') & flat.endswith('"}'))
+    )
+
+
+_FLAT_SQL = "replace(replace(text, chr(10), ' '), chr(13), ' ')"
+_MARKUP_SAFE_SQL = f"""NOT ({_FLAT_SQL} LIKE '```%'
+       OR contains(text, chr(27)) OR contains(text, '{BLANK}')
+       OR regexp_matches(text, '[{_CONFUSABLE_CYR}]')
+       OR ({_FLAT_SQL} LIKE '{{"stdout": "%' AND {_FLAT_SQL} LIKE '%"}}'))"""
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,11 +112,12 @@ def extract_markup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         flat,
         F.lit("\n```\n\x1b[2K[exit 0]"),
     )
-    # envelope-shaped doc text would be unwrapped by the extractor while the
-    # oracle keeps it verbatim — exclude identically on both sides
-    wrapped = d.filter(
-        ~(flat.startswith('{"stdout": "') & flat.endswith('"}'))
-    ).select("doc_id", payload.alias("text"))
+    # envelope-shaped / fence-shaped / ESC-BLANK-confusable-bearing doc text
+    # would be transformed by the extractor while the oracle keeps it
+    # verbatim — exclude identically on both sides
+    wrapped = d.filter(_markup_safe(flat)).select(
+        "doc_id", payload.alias("text")
+    )
     return (
         extract_stage(wrapped)
         .select("doc_id", "extracted_text")
@@ -98,11 +125,10 @@ def extract_markup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EXTRACT_MARKUP_DOCS_SQL = """
-SELECT doc_id, replace(replace(text, chr(10), ' '), chr(13), ' ') AS extracted_text
+EXTRACT_MARKUP_DOCS_SQL = f"""
+SELECT doc_id, {_FLAT_SQL} AS extracted_text
 FROM documents
-WHERE NOT (replace(replace(text, chr(10), ' '), chr(13), ' ') LIKE '{"stdout": "%'
-           AND replace(replace(text, chr(10), ' '), chr(13), ' ') LIKE '%"}')
+WHERE {_MARKUP_SAFE_SQL}
 ORDER BY doc_id
 """
 
@@ -201,9 +227,9 @@ def extract_markup_collapse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.concat(
         F.lit("\x1b[2K[fetching]\n```\n"), noisy, F.lit("\n```")
     )
-    wrapped = d.filter(
-        ~(flat.startswith('{"stdout": "') & flat.endswith('"}'))
-    ).select("doc_id", payload.alias("text"))
+    wrapped = d.filter(_markup_safe(flat)).select(
+        "doc_id", payload.alias("text")
+    )
     return (
         extract_stage(wrapped)
         .select("doc_id", "extracted_text")
@@ -211,10 +237,9 @@ def extract_markup_collapse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EXTRACT_MARKUP_COLLAPSE_SQL = """
-SELECT doc_id, replace(replace(text, chr(10), ' '), chr(13), ' ') AS extracted_text
+EXTRACT_MARKUP_COLLAPSE_SQL = f"""
+SELECT doc_id, {_FLAT_SQL} AS extracted_text
 FROM documents
-WHERE NOT (replace(replace(text, chr(10), ' '), chr(13), ' ') LIKE '{"stdout": "%'
-           AND replace(replace(text, chr(10), ' '), chr(13), ' ') LIKE '%"}')
+WHERE {_MARKUP_SAFE_SQL}
 ORDER BY doc_id
 """

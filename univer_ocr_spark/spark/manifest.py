@@ -28,15 +28,15 @@ import os
 import time
 from typing import List, Optional
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from univer_ocr_spark import EXTRACTION_VERSION
 from univer_ocr_spark.spark.pipeline import run_extraction
 
 MANIFEST_SCHEMA = (
     "bucket int, n_rows long, extraction_version string, "
-    "input_snapshot string, wall_sec double, rows_per_sec double, "
-    "committed_at double"
+    "input_snapshot string, output_snapshot string, wall_sec double, "
+    "rows_per_sec double, committed_at double"
 )
 
 
@@ -44,13 +44,29 @@ def bucket_expr(n_buckets: int):
     return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
 
 
+def _staged_marker(staged_dir: str) -> str:
+    return os.path.join(staged_dir, "_STAGED_INPUT")
+
+
 def bucketize(spark: SparkSession, df: DataFrame, staged_dir: str,
-              n_buckets: int) -> None:
+              n_buckets: int, input_snapshot: str = "") -> None:
     """One-time shuffle: stage the input partitioned by bucket so each
     bucket's processing is a partition-pruned scan (no re-scan of the full
-    input per bucket)."""
+    input per bucket).
+
+    The staged dir records which (input_snapshot, n_buckets) it was built
+    from; a resume against a DIFFERENT input re-stages instead of silently
+    extracting stale data.
+    """
+    want = f"{input_snapshot}\n{n_buckets}"
+    marker = _staged_marker(staged_dir)
     if os.path.exists(os.path.join(staged_dir, "_SUCCESS")):
-        return
+        try:
+            with open(marker, encoding="utf-8") as fh:
+                if fh.read() == want:
+                    return
+        except OSError:
+            pass  # no/unreadable marker → treat as stale, re-stage
     (
         df.withColumn("bucket", bucket_expr(n_buckets))
         .repartition(n_buckets, "bucket")
@@ -58,25 +74,54 @@ def bucketize(spark: SparkSession, df: DataFrame, staged_dir: str,
         .partitionBy("bucket")
         .parquet(staged_dir)
     )
+    with open(marker, "w", encoding="utf-8") as fh:
+        fh.write(want)
 
 
 def committed_buckets(spark: SparkSession, manifest_dir: str,
-                      extraction_version: str = EXTRACTION_VERSION) -> set:
-    """Buckets committed under the CURRENT extraction version. A bucket
-    committed by an older version is stale lineage — it must be
-    reprocessed, exactly like an Iceberg snapshot written by an old job
-    version being superseded."""
+                      extraction_version: str = EXTRACTION_VERSION,
+                      input_snapshot: str = "") -> set:
+    """Buckets committed under the CURRENT (extraction version, input
+    snapshot). A bucket committed by an older code version OR against an
+    older input snapshot is stale lineage — it must be reprocessed, exactly
+    like an Iceberg snapshot written by a superseded job."""
     if not os.path.exists(manifest_dir):
         return set()
     try:
         rows = (
             spark.read.parquet(manifest_dir)
-            .select("bucket", "extraction_version")
+            .select("bucket", "extraction_version", "input_snapshot")
             .collect()
         )
     except Exception:  # noqa: BLE001 — empty/missing manifest = nothing committed
         return set()
-    return {r["bucket"] for r in rows if r["extraction_version"] == extraction_version}
+    return {
+        r["bucket"]
+        for r in rows
+        if r["extraction_version"] == extraction_version
+        and r["input_snapshot"] == input_snapshot
+    }
+
+
+def iceberg_table_name() -> Optional[str]:
+    """Iceberg sink is opt-in: set UNIVER_ICEBERG_TABLE to a catalog-qualified
+    table name (e.g. ``lake.db.extracted``) on a cluster whose session has the
+    Iceberg runtime jar + catalog configured. This container has neither, so
+    the default is the parquet-directory protocol with identical semantics."""
+    return os.environ.get("UNIVER_ICEBERG_TABLE") or None
+
+
+def _iceberg_append(out: DataFrame, table: str) -> str:
+    """Commit one bucket to an Iceberg table via the DataFrameWriterV2 API and
+    return the resulting snapshot id (read back from the table's snapshots
+    metadata — the lineage the manifest row must cite)."""
+    spark = out.sparkSession
+    out.writeTo(table).append()
+    snap = spark.sql(
+        f"SELECT snapshot_id FROM {table}.snapshots "
+        "ORDER BY committed_at DESC LIMIT 1"
+    ).collect()
+    return str(snap[0][0]) if snap else ""
 
 
 def run_with_manifest(
@@ -97,9 +142,11 @@ def run_with_manifest(
     outdir = os.path.join(workdir, "extracted")
     manifest_dir = os.path.join(workdir, "manifest")
 
-    bucketize(spark, df, staged, n_buckets)
-    done = committed_buckets(spark, manifest_dir, EXTRACTION_VERSION)
+    bucketize(spark, df, staged, n_buckets, input_snapshot)
+    done = committed_buckets(spark, manifest_dir, EXTRACTION_VERSION,
+                             input_snapshot)
     processed: List[int] = []
+    iceberg_table = iceberg_table_name()
 
     for b in range(n_buckets):
         if b in done:
@@ -112,15 +159,25 @@ def run_with_manifest(
             part = spark.createDataFrame([], df.schema)  # empty bucket
         else:
             part = spark.read.parquet(bucket_dir)
-        out = run_extraction(part)
-        out.write.mode("overwrite").parquet(os.path.join(outdir, f"bucket={b}"))
-        n_rows = spark.read.parquet(os.path.join(outdir, f"bucket={b}")).count()
+        obs = Observation(f"bucket_{b}_rows")
+        out = run_extraction(part).observe(obs, F.count(F.lit(1)).alias("n"))
+        if iceberg_table:
+            output_snapshot = _iceberg_append(
+                out.withColumn("bucket", F.lit(b)), iceberg_table
+            )
+        else:
+            out.write.mode("overwrite").parquet(
+                os.path.join(outdir, f"bucket={b}")
+            )
+            output_snapshot = ""
+        n_rows = obs.get["n"]  # folded into the write — no re-read
         wall = time.time() - t0
         row = {
             "bucket": b,
             "n_rows": n_rows,
             "extraction_version": EXTRACTION_VERSION,
             "input_snapshot": input_snapshot,
+            "output_snapshot": output_snapshot,
             "wall_sec": round(wall, 3),
             "rows_per_sec": round(n_rows / wall, 3) if wall > 0 else 0.0,
             "committed_at": time.time(),

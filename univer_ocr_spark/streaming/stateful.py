@@ -1,6 +1,8 @@
 """Custom stateful streaming operator: per-user gap-based sessionization
-with ``applyInPandasWithState`` — session state (last event time, session
-count, event count) survives across micro-batches.
+with ``applyInPandasWithState`` — session state (merged session intervals +
+event count) survives across micro-batches, and because the state is an
+interval UNION the result is independent of micro-batch arrival order
+(late files merge sessions instead of splitting them).
 
 This is the streaming twin of ops/relational.q_sessionize_events (A6 — the
 interval-merge semantics, ref: interpreter.py:494-502) and the designated
@@ -21,26 +23,37 @@ from univer_ocr_spark.constants import SESSION_GAP_SECONDS
 SESSION_GAP_US = SESSION_GAP_SECONDS * 1_000_000
 
 OUTPUT_SCHEMA = "user_id long, n_sessions long, n_events long"
-STATE_SCHEMA = "last_us long, n_sessions long, n_events long"
+# State is the per-user set of merged session INTERVALS (not just the last
+# event time): interval-union state makes the result invariant to the order
+# micro-batches arrive in — a late file landing between two already-seen
+# sessions merges them instead of splitting/overcounting. State size is
+# bounded by the user's session count, not event count.
+STATE_SCHEMA = "starts array<long>, ends array<long>, n_events long"
 
 
 def _update_sessions(
     key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    last_us, n_sessions, n_events = (
-        state.get if state.exists else (-1, 0, 0)
-    )
-    rows = pd.concat(list(pdfs), ignore_index=True)
-    rows = rows.sort_values(["us", "event_id"])
-    for us in rows["us"].tolist():
-        if last_us < 0 or us - last_us > SESSION_GAP_US:
-            n_sessions += 1
-        last_us = us
-        n_events += 1
-    state.update((int(last_us), int(n_sessions), int(n_events)))
+    starts, ends, n_events = state.get if state.exists else ([], [], 0)
+    pts = []
+    for pdf in pdfs:
+        pts.extend(pdf["us"].tolist())
+    n_events += len(pts)
+    ivs = sorted(list(zip(starts, ends)) + [(p, p) for p in pts])
+    merged: list = []
+    for s, e in ivs:
+        if merged and s - merged[-1][1] <= SESSION_GAP_US:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    state.update((
+        [int(m[0]) for m in merged],
+        [int(m[1]) for m in merged],
+        int(n_events),
+    ))
     yield pd.DataFrame(
-        [{"user_id": user_id, "n_sessions": n_sessions, "n_events": n_events}]
+        [{"user_id": user_id, "n_sessions": len(merged), "n_events": n_events}]
     )
 
 
