@@ -44,11 +44,10 @@ def _with_pkg(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSe
 
 
 def _transcripts_extract_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-row summary of the full generator→extraction pipeline. The
-    generator parameters are fixed, so every value is a deterministic
-    constant known in advance — the oracle states them literally
-    (golden-by-construction at the aggregate level): n_matching == n_turns
-    proves per-turn text+span equality for the whole run."""
+    """One-row summary of the full generator→extraction pipeline. The oracle
+    derives every value from the materialized golden parquet (no hand-kept
+    constants): n_matching == n_turns proves per-turn text+span equality for
+    the whole run."""
     from pyspark.sql import functions as F
 
     out = _transcripts_full(spark)
@@ -78,8 +77,7 @@ def _transcripts_full(spark: SparkSession):
 
 def _extraction_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QA rollup per archetype (P5 unknown/empty counters + F7-style overlap
-    flags): fixed generator params make every value a known constant — the
-    oracle states them literally."""
+    flags); the oracle aggregates the same values from the golden parquet."""
     from pyspark.sql import functions as F
 
     out = _transcripts_full(spark)
@@ -96,15 +94,31 @@ def _extraction_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _transcripts_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end transcript extraction (non-SQL-expressible: the full
-    generator → mapInPandas extraction pipeline; correctness is enforced
-    byte-for-byte by pytest against by-construction goldens)."""
+    """Flagship: end-to-end generator → mapInPandas extraction, emitted as a
+    per-turn digest (md5 of extracted text + canonical span string + counts).
+    The DuckDB oracle reads the SAME digests from the materialized golden
+    parquet (generator/goldens.py), so the driver's hash gate checks
+    per-turn text+span equality row by row — the oracle-decode idea of the
+    reference's golden fixtures (ref: web_app/views/main.py:88-99)."""
     from pyspark.sql import functions as F
 
     out = _transcripts_full(spark)
+    span_str = F.concat_ws(
+        ";",
+        F.transform(
+            "spans",
+            lambda s: F.concat_ws(":", s["unit"], s["start"], s["end"]),
+        ),
+    )
     return out.select(
-        "conv_id", "turn_idx", "kind", "n_units", "n_spans", "n_chars",
-        (F.col("extracted_text") == F.col("gold_text")).alias("matches_golden"),
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "kind",
+        F.col("n_units").cast("long").alias("n_units"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.md5(F.encode("extracted_text", "UTF-8")).alias("text_md5"),
+        span_str.alias("spans_str"),
     ).orderBy("conv_id", "turn_idx")
 
 
@@ -158,8 +172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "transcripts_extract": _with_pkg(_transcripts_extract),
             "transcripts_extract_summary": _with_pkg(_transcripts_extract_summary),
             "extraction_qa": _with_pkg(_extraction_qa),
-            # stubbed decode → deterministic fake features (rows-only check;
-            # no SQL oracle for the decode stage by design)
+            # stubbed decode → deterministic fake features; the stub IS
+            # SQL-expressible, so it gets a real DuckDB oracle
             "multimodal_features": _with_pkg(multimodal.multimodal_features),
             # grouped-map pandas UDAF needs the package on workers too
             "q_user_median_pandas": _with_pkg(relational.q_user_median_pandas),
@@ -169,6 +183,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from univer_ocr_spark.generator.goldens import goldens_parquet
+
+    # materialized on first call (pure Python, ~1s, cached by generator hash)
+    goldens = goldens_parquet(n_convs=60, mega_conv_count=1, mega_conv_size=200)
     return {
         "q1_pricing_summary": relational.Q1_SQL,
         "q_revenue_by_nation": relational.Q_REVENUE_BY_NATION_SQL,
@@ -206,24 +224,32 @@ def oracle_sql() -> dict[str, str]:
         "extract_pdfish_docs": extract_docs.EXTRACT_PDFISH_DOCS_SQL,
         "extract_html_blocks_docs": extract_docs.EXTRACT_HTML_BLOCKS_SQL,
         "extract_markup_collapse_docs": extract_docs.EXTRACT_MARKUP_COLLAPSE_SQL,
-        # transcripts_extract (detailed rows): intentionally no oracle —
-        # byte-for-byte per-turn correctness is pytest's job. The SUMMARY
-        # query has one: the generator params are fixed, so the aggregate is
-        # a known constant; n_matching == n_turns == 892 asserts per-turn
-        # text+span equality across the whole pipeline via the driver's gate
+        "multimodal_features": multimodal.MULTIMODAL_FEATURES_SQL,
+        # The three transcript oracles all derive from the materialized
+        # golden parquet (generator/goldens.py) — no hand-maintained
+        # constants; a generator change re-materializes and the oracles
+        # follow. n_matching/n_text_match are stated as count(*): every
+        # turn must match its golden.
+        "transcripts_extract": (
+            "SELECT conv_id, turn_idx, kind, n_units, n_spans, n_chars,"
+            " text_md5, spans_str"
+            f" FROM read_parquet('{goldens}')"
+            " ORDER BY conv_id, turn_idx"
+        ),
         "extraction_qa": (
-            "SELECT * FROM (VALUES"
-            " ('html', CAST(443 AS BIGINT), CAST(0 AS BIGINT), CAST(443 AS BIGINT), CAST(5232 AS BIGINT)),"
-            " ('pdfish', 224, 0, 224, 23240),"
-            " ('toolmarkup', 225, 0, 225, 2419)"
-            ") AS t(kind, n_turns, n_empty, n_text_match, total_spans)"
-            " ORDER BY kind"
+            "SELECT kind, CAST(count(*) AS BIGINT) AS n_turns,"
+            " CAST(sum(CASE WHEN n_units = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,"
+            " CAST(count(*) AS BIGINT) AS n_text_match,"
+            " CAST(sum(n_spans) AS BIGINT) AS total_spans"
+            f" FROM read_parquet('{goldens}')"
+            " GROUP BY kind ORDER BY kind"
         ),
         "transcripts_extract_summary": (
-            "SELECT CAST(892 AS BIGINT) AS n_turns,"
-            " CAST(892 AS BIGINT) AS n_matching,"
-            " CAST(3878 AS BIGINT) AS total_units,"
-            " CAST(30891 AS BIGINT) AS total_spans,"
-            " CAST(305344 AS BIGINT) AS total_chars"
+            "SELECT CAST(count(*) AS BIGINT) AS n_turns,"
+            " CAST(count(*) AS BIGINT) AS n_matching,"
+            " CAST(sum(n_units) AS BIGINT) AS total_units,"
+            " CAST(sum(n_spans) AS BIGINT) AS total_spans,"
+            " CAST(sum(n_chars) AS BIGINT) AS total_chars"
+            f" FROM read_parquet('{goldens}')"
         ),
     }

@@ -91,3 +91,21 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size("features").cast("long").alias("feature_dim"),
     ).orderBy("doc_id")
+
+
+# The stub features ARE SQL-expressible (byte_k/255 over the first 8 UTF-8
+# bytes), so the decode plumbing gets a real oracle: bytes recovered via
+# hex-nibble arithmetic, folded LEFT in array order (list_reduce) to mirror
+# Spark's F.aggregate fold exactly — same doubles, same round(…, 6).
+MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id,
+  CASE WHEN octet_length(encode(text)) = 0 THEN 0.0 ELSE
+    round(list_reduce(
+      list_transform(range(1, least(octet_length(encode(text)), 8) + 1),
+        k -> ((strpos('0123456789abcdef', lower(hex(encode(text)))[2*k-1:2*k-1]) - 1) * 16
+              + strpos('0123456789abcdef', lower(hex(encode(text)))[2*k:2*k]) - 1) / 255.0),
+      (a, x) -> a + x), 6)
+  END AS feature_sum,
+  CAST(8 AS BIGINT) AS feature_dim
+FROM documents ORDER BY doc_id
+"""
