@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": dedup.minhash_signatures,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "lsh_verified_pairs": dedup.lsh_verified_pairs,
+        "neardup_clusters": dedup.neardup_clusters,
         "simhash_signatures": dedup.simhash_signatures,
         # similarity search
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
@@ -214,6 +216,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": dedup.minhash_signatures_sql(),
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs_sql(),
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
+        "lsh_verified_pairs": dedup.LSH_VERIFIED_PAIRS_SQL,
+        "neardup_clusters": dedup.NEARDUP_CLUSTERS_SQL,
         "simhash_signatures": dedup.simhash_signatures_sql(),
         "ann_bruteforce_topk": similarity.ANN_BRUTEFORCE_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_SQL,

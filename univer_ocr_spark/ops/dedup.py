@@ -101,16 +101,19 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature per doc: sig_k = lexicographic min of
-    md5('<k>|' || shingle) — a portable permutation family. One shuffle
-    (groupBy doc_id over exploded distinct shingles)."""
-    ex = _exploded_shingles(spark, sf_dir)
+def _signatures_from(ex: DataFrame) -> DataFrame:
     aggs = [
         F.min(F.md5(F.encode(F.concat(F.lit(f"{k}|"), F.col("shingle")), "UTF-8"))).alias(f"sig_{k}")
         for k in range(MINHASH_K)
     ]
-    return ex.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature per doc: sig_k = lexicographic min of
+    md5('<k>|' || shingle) — a portable permutation family. One shuffle
+    (groupBy doc_id over exploded distinct shingles)."""
+    return _signatures_from(_exploded_shingles(spark, sf_dir)).orderBy("doc_id")
 
 
 def minhash_signatures_sql() -> str:
@@ -124,13 +127,14 @@ def minhash_signatures_sql() -> str:
     )
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: docs sharing any band key are candidate near-dups.
-    The join key is the band hash — never an all-pairs cross join."""
+def _lsh_candidates(ex: DataFrame) -> DataFrame:
+    """LSH banding over exploded shingles: docs sharing any band key are
+    candidate near-dups. The join key is the band hash — never an all-pairs
+    cross join."""
     # one signature computation; bands fan out via explode (NOT a union of
     # re-derived frames, which would recompute the shingle aggregation per
     # band); persist so the self-join doesn't recompute the lineage twice
-    sigs = minhash_signatures(spark, sf_dir)
+    sigs = _signatures_from(ex)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -164,11 +168,17 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
         )
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
 
 
-def minhash_lsh_pairs_sql() -> str:
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lsh_candidates(_exploded_shingles(spark, sf_dir)).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _lsh_cte_sql() -> str:
+    """Shared CTE block: sigs → banded → cand (candidate pairs)."""
     band_rows = []
     for b in range(LSH_BANDS):
         cols = " || '|' || ".join(
@@ -179,12 +189,19 @@ def minhash_lsh_pairs_sql() -> str:
         )
     banded = " UNION ALL ".join(band_rows)
     return (
-        f"WITH sigs AS ({minhash_signatures_sql().replace('ORDER BY doc_id', '')}),\n"
-        f"banded AS ({banded})\n"
-        "SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b\n"
-        "FROM banded l JOIN banded r\n"
-        "  ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id\n"
-        "ORDER BY doc_a, doc_b"
+        f"sigs AS ({minhash_signatures_sql().replace('ORDER BY doc_id', '')}),\n"
+        f"banded AS ({banded}),\n"
+        "cand AS (\n"
+        "  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b\n"
+        "  FROM banded l JOIN banded r\n"
+        "    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id)"
+    )
+
+
+def minhash_lsh_pairs_sql() -> str:
+    return (
+        f"WITH {_lsh_cte_sql()}\n"
+        "SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"
     )
 
 
@@ -248,7 +265,152 @@ NGRAM_JACCARD_SQL = (
 )
 
 
-# --------------------------------------------------------------- SimHash ---
+# ---------------------------------------------- LSH → verify → clusters ---
+# The composed scale path (VERDICT r01 #5): exact Jaccard is computed ONLY
+# on LSH candidate pairs (cost ∝ candidates, not Σf² over the corpus), then
+# verified pairs are canonicalized into clusters by bounded min-label
+# propagation. ngram_jaccard_pairs stays as the small-scale exact twin.
+
+
+def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard verification of MinHash-LSH candidates.
+
+    Plan shape at 100 TB: one shingle explode (reused for signatures AND
+    verification via persist), band-key equi-join for candidates, then the
+    candidate list — small by LSH construction — joins back to the shingle
+    table twice to count shared shingles. No all-pairs stage anywhere.
+    """
+    ex = _exploded_shingles(spark, sf_dir).persist()
+    cand = _lsh_candidates(ex)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        shared.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "shared", "na", "nb", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _verified_cte_sql() -> str:
+    """CTE chain ending in ``ver`` = the verified near-dup pairs."""
+    return (
+        f"{_lsh_cte_sql()},\n"
+        f"ex AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),\n"
+        "sizes AS (SELECT doc_id, count(*) AS n_shingles FROM ex GROUP BY doc_id),\n"
+        "shared AS (\n"
+        "  SELECT c.doc_a, c.doc_b, count(*) AS shared\n"
+        "  FROM cand c JOIN ex a ON a.doc_id = c.doc_a\n"
+        "              JOIN ex b ON b.doc_id = c.doc_b AND b.shingle = a.shingle\n"
+        "  GROUP BY c.doc_a, c.doc_b),\n"
+        "ver AS (\n"
+        "  SELECT doc_a, doc_b, shared, sa.n_shingles AS na, sb.n_shingles AS nb,\n"
+        "         round(shared / (sa.n_shingles + sb.n_shingles - shared), 4) AS jaccard\n"
+        "  FROM shared JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id\n"
+        f"  WHERE round(shared / (sa.n_shingles + sb.n_shingles - shared), 4) >= {JACCARD_THRESHOLD})"
+    )
+
+
+LSH_VERIFIED_PAIRS_SQL = (
+    f"WITH {_verified_cte_sql()}\n"
+    "SELECT doc_a, doc_b, shared, na, nb, jaccard FROM ver ORDER BY doc_a, doc_b"
+)
+
+
+def _min_label_cc(nodes: DataFrame, edges: DataFrame,
+                  max_rounds: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``nodes``: (doc_id); ``edges``: (src, dst), must be symmetric. Each round
+    is one shuffle (join + min-agg); the loop stops when no label changes or
+    after ``max_rounds`` (propagation needs diameter-many rounds; near-dup
+    clusters are shallow — the reference analog is the bounded-pass region
+    labeling A1, ref: interpreter.py:16-21). The fixpoint is unique, so the
+    result is independent of round count once converged.
+    """
+    # localCheckpoint (not persist): iterative self-joins grow the logical
+    # plan by two joins per round — without lineage truncation the analyzed
+    # plan explodes the driver heap after ~10 rounds. Checkpointing each
+    # round keeps every plan one-round deep.
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    edges = edges.localCheckpoint()
+    for _ in range(max_rounds):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(edges["dst"].alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization: every doc gets a cluster_id (the
+    min doc_id of its verified-near-dup component; singletons keep their
+    own id) and an is_canonical keeper flag — the one-keeper-per-cluster
+    output a dedup pipeline actually consumes."""
+    pairs = lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    nodes = _docs(spark, sf_dir).select("doc_id")
+    labels = _min_label_cc(nodes, edges)
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    ).orderBy("doc_id")
+
+
+# Oracle-side connected components: seed every doc with its own id, flood
+# labels along symmetric edges (recursive CTE, UNION-dedup guarantees
+# termination), take the component min — the same unique fixpoint the Spark
+# min-label loop converges to.
+NEARDUP_CLUSTERS_SQL = (
+    f"WITH RECURSIVE {_verified_cte_sql()},\n"
+    "edges AS (SELECT doc_a AS src, doc_b AS dst FROM ver\n"
+    "          UNION ALL SELECT doc_b, doc_a FROM ver),\n"
+    "reach AS (\n"
+    "  SELECT doc_id, doc_id AS label FROM documents\n"
+    "  UNION\n"
+    "  SELECT e.dst AS doc_id, r.label FROM reach r JOIN edges e ON e.src = r.doc_id)\n"
+    "SELECT doc_id, min(label) AS cluster_id,\n"
+    "       doc_id = min(label) AS is_canonical\n"
+    "FROM reach GROUP BY doc_id ORDER BY doc_id"
+)
 
 SIMHASH_BITS = 32
 _HEX = "0123456789abcdef"

@@ -350,40 +350,68 @@ ORDER BY returnflag, linestatus
 def q_events_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-containment join (J3 analog, interpreter.py:147-156): for
     each click, count views by the same user within the preceding hour.
-    Equi-join on user_id carries the range predicate; at 100 TB add a
-    coarse time-bucket key to the join to bound the probe set."""
+
+    Scale shape: the join key is (user_id, hour_bucket) — each click probes
+    exactly the two buckets its 1-hour window can touch, so a hot user with
+    10^6 events never goes quadratic (probe set bounded by events per
+    user-hour, not per user). Each qualifying view lies in exactly one of
+    the two probed buckets, so nothing double-counts.
+    """
     ev = _t(spark, sf_dir, "events")
+    hour_us = 3600 * 1_000_000
     us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        us("ts").alias("cus"),
+    )
+    # one probe row per bucket the window overlaps: [cb-1, cb]
+    clicks = clicks.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr(f"cus DIV {hour_us}") - 1, F.expr(f"cus DIV {hour_us}")
+            )
+        ),
     )
     views = ev.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("v_user"), F.col("ts").alias("vts")
+        F.col("user_id").alias("v_user"),
+        us("ts").alias("vus"),
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {hour_us}").alias("v_bucket"),
     )
     j = clicks.join(
         views,
         (F.col("user_id") == F.col("v_user"))
-        & (us("vts") <= us("cts"))
-        & (us("vts") > us("cts") - F.lit(3600 * 1_000_000)),
+        & (F.col("bucket") == F.col("v_bucket"))
+        & (F.col("vus") <= F.col("cus"))
+        & (F.col("vus") > F.col("cus") - F.lit(hour_us)),
         "left",
     )
     return (
         j.groupBy("user_id", "click_id")
-        .agg(F.count(F.col("vts")).alias("views_in_hour"))
+        .agg(F.count(F.col("vus")).alias("views_in_hour"))
         .orderBy("user_id", "click_id")
     )
 
 
 Q_EVENTS_WITHIN_HOUR_SQL = """
-SELECT c.user_id AS user_id, c.event_id AS click_id,
-       count(v.ts) AS views_in_hour
-FROM events c LEFT JOIN events v
-  ON v.user_id = c.user_id AND v.event_type = 'view'
- AND epoch_us(v.ts) <= epoch_us(c.ts)
- AND epoch_us(v.ts) > epoch_us(c.ts) - 3600000000
-WHERE c.event_type = 'click'
-GROUP BY c.user_id, c.event_id
-ORDER BY c.user_id, click_id
+WITH c AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+  FROM events WHERE event_type = 'click'),
+cx AS (
+  SELECT user_id, click_id, cus, cus // 3600000000 + d AS bucket
+  FROM c CROSS JOIN (VALUES (-1), (0)) AS t(d)),
+v AS (
+  SELECT user_id AS v_user, epoch_us(ts) AS vus,
+         epoch_us(ts) // 3600000000 AS v_bucket
+  FROM events WHERE event_type = 'view')
+SELECT cx.user_id AS user_id, cx.click_id AS click_id,
+       count(v.vus) AS views_in_hour
+FROM cx LEFT JOIN v
+  ON v.v_user = cx.user_id AND v.v_bucket = cx.bucket
+ AND v.vus <= cx.cus AND v.vus > cx.cus - 3600000000
+GROUP BY cx.user_id, cx.click_id
+ORDER BY user_id, click_id
 """
 
 
