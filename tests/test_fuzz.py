@@ -28,7 +28,8 @@ structured = st.one_of(
 def test_extract_never_raises_and_spans_valid(payload):
     text, spans, kind = extract_payload(payload)
     validate_spans(payload, spans)
-    rebuilt = reconstruct(payload, spans)
+    rebuilt = reconstruct(payload, spans,
+                          decode_html_entities=(kind == "html"))
     if kind == "pdfish":
         assert rebuilt.replace(" ", "") == text.replace(" ", "")
     else:

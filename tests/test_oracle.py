@@ -37,7 +37,8 @@ def test_archetype_oracle_matches_golden(gen, kind):
         assert text == gold_text, f"{kind} seed={seed}"
         assert spans == gold_spans, f"{kind} seed={seed}"
         validate_spans(payload, spans)
-        rebuilt = reconstruct(payload, spans)
+        rebuilt = reconstruct(payload, spans,
+                              decode_html_entities=(kind == "html"))
         if kind == "pdfish":
             # word spaces are *inferred* from glyph gaps (no payload char),
             # so reconstruction matches modulo spaces

@@ -57,6 +57,16 @@ def are_similar(c1: str, c2: str) -> bool:
 
 
 # ---------------------------------------------------------------- HTML ----
+# The five standard entity references the HTML extractor decodes. Each
+# decoded entity gets its OWN span over the raw reference, so spans stay
+# auditable: a span slice is either verbatim or exactly one entity ref.
+HTML_ENTITIES = {
+    "&amp;": "&",
+    "&lt;": "<",
+    "&gt;": ">",
+    "&quot;": '"',
+    "&apos;": "'",
+}
 # Tags whose entire subtree is boilerplate by construction (analog of the
 # reference's letter-spacing veto P4 / background pixels).
 HTML_DROP_TAGS = frozenset(
@@ -84,6 +94,11 @@ PDFISH_MARGIN_DEN = 10
 # half the previous glyph's width (integer rule: 2*gap >= prev_w, gap >= 1).
 PDFISH_SPACE_NUM = 1
 PDFISH_SPACE_DEN = 2
+# Column split (multi-column reading order): two glyph runs belong to
+# different columns when the gap between their x-projections is at least
+# COL_GAP_FACTOR × the page's max glyph reading-extent. Word gaps (~1 glyph
+# width) never split; a deliberate column gutter (≥4 widths) always does.
+PDFISH_COL_GAP_FACTOR = 4
 
 
 SESSION_GAP_SECONDS = 1800  # gap that starts a new session (batch + streaming)

@@ -12,13 +12,12 @@ Deterministic, integer-arithmetic only. Operates on the generated HTML
 dialect: no entities, no ``<``/``>`` inside attribute values or raw-text
 elements.
 
-Design tradeoff (documented, not accidental): spans are VERBATIM payload
-slices — the invariant ``payload[start:end]`` == emitted text piece is what
-makes the span contract auditable at 10^12 rows. Entity decoding
-(``&amp;`` → ``&``) would break that 1:1 mapping; supporting it would mean
-per-span decoded/raw text pairs. Real-world HTML with entities degrades
-gracefully: the entity appears verbatim in the output, nothing crashes
-(fuzz-tested), and the block/link-density classification is unaffected.
+Entity handling with span integrity: the five standard entity references
+(``&amp; &lt; &gt; &quot; &apos;``) decode to their characters, and each
+entity gets its OWN span over the raw reference — so every span slice is
+either verbatim or exactly one entity ref, and the reconstruction invariant
+stays auditable at 10^12 rows (``spans.reconstruct(...,
+decode_html_entities=True)``). Non-entity ampersands stay verbatim.
 Attribute values containing ``>`` mis-split the tag regex for that one tag;
 the failure mode is a garbled text node on that row, never a task failure.
 """
@@ -31,6 +30,7 @@ from typing import List, Tuple
 from univer_ocr_spark.constants import (
     HTML_BLOCK_TAGS,
     HTML_DROP_TAGS,
+    HTML_ENTITIES,
     HTML_LINK_DENSITY_DEN,
     HTML_LINK_DENSITY_NUM,
 )
@@ -38,6 +38,7 @@ from univer_ocr_spark.spans import Span
 
 _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>]*>")
 _VOID_TAGS = frozenset({"br", "hr", "img", "meta", "link", "input"})
+_ENT_RE = re.compile(r"&(?:amp|lt|gt|quot|apos);")
 
 # Extractor-side block record: (tag, nodes) with nodes = [(start, end, in_link)]
 ExtractorBlock = Tuple[str, bool, List[Tuple[int, int, bool]]]
@@ -115,8 +116,24 @@ def extract_html(payload: str) -> Tuple[str, List[Span]]:
             continue
         parts = []
         for s, e, _ in nodes:
-            spans.append((unit, s, e))
-            parts.append(payload[s:e])
+            seg = payload[s:e]
+            if "&" not in seg:  # fast path: entity-free node, one span
+                spans.append((unit, s, e))
+                parts.append(seg)
+                continue
+            # split at entity refs: literal runs stay verbatim slices,
+            # each entity becomes its own span decoding to one char
+            pos = 0
+            for m in _ENT_RE.finditer(seg):
+                if m.start() > pos:
+                    spans.append((unit, s + pos, s + m.start()))
+                    parts.append(seg[pos:m.start()])
+                spans.append((unit, s + m.start(), s + m.end()))
+                parts.append(HTML_ENTITIES[m.group(0)])
+                pos = m.end()
+            if pos < len(seg):
+                spans.append((unit, s + pos, e))
+                parts.append(seg[pos:])
         unit_texts.append("".join(parts))
         unit += 1
     return "\n".join(unit_texts), spans

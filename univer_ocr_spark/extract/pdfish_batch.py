@@ -5,12 +5,14 @@ This is the reference's X6 lesson (vectorized batching — one GEMM-able
 tensor instead of per-pixel Python, ref: convolutional.py:330-373) applied
 at the right granularity for Spark: per-payload NumPy loses to pure Python
 at ~130 glyphs/payload (fixed overhead), but across a 2048-turn Arrow batch
-(~270k glyphs) the int-parse, interval-merge, sort and space/gap logic all
-amortize into a handful of vectorized kernels.
+(~270k glyphs) the int-parse, orientation vote, column/band interval-merge,
+sort and space/gap logic all amortize into a handful of vectorized kernels.
 
-Semantics are identical to extract_pdfish (property-tested equal); payloads
-that fail strict-format validation fall back to the tolerant per-payload
-parser individually.
+Semantics are identical to extract_pdfish (property-tested equal): 4-way
+orientation vote (aspect + margin-excluded mass-center), x-gap column
+clustering, y-band merging, margin strip, reading order, word-gap spaces.
+Payloads that fail strict-format validation fall back to the tolerant
+per-payload parser individually.
 """
 
 from __future__ import annotations
@@ -20,6 +22,7 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 from univer_ocr_spark.constants import (
+    PDFISH_COL_GAP_FACTOR,
     PDFISH_MAGIC,
     PDFISH_MARGIN_DEN,
     PDFISH_MARGIN_NUM,
@@ -31,6 +34,8 @@ from univer_ocr_spark.spans import Span
 
 Result = Tuple[str, List[Span]]
 
+_COORD_BOUND = 2**31  # larger coords/dims → tolerant path (keying math)
+
 
 def _body_well_formed(body: str) -> bool:
     """Cheap C-level scans that guarantee single-space separation (what the
@@ -40,6 +45,14 @@ def _body_well_formed(body: str) -> bool:
     failure mode is wrong-output-for-that-row, never a crash."""
     return not ("  " in body or "\t" in body or "\n " in body or " \n" in body
                 or body.startswith(" "))
+
+
+def _margin_mask(c2: np.ndarray, dim: np.ndarray) -> np.ndarray:
+    """True where a center (2·coord+extent) falls in the top/bottom 10%."""
+    return (PDFISH_MARGIN_DEN * c2 < 2 * PDFISH_MARGIN_NUM * dim) | (
+        PDFISH_MARGIN_DEN * c2
+        > 2 * (PDFISH_MARGIN_DEN - PDFISH_MARGIN_NUM) * dim
+    )
 
 
 def extract_pdfish_many(payloads: Sequence[str]) -> List[Result]:
@@ -64,6 +77,9 @@ def extract_pdfish_many(payloads: Sequence[str]) -> List[Result]:
             page_w, page_h = int(hdr[1]), int(hdr[2])
         except ValueError:
             results[i] = extract_pdfish(p)
+            continue
+        if abs(page_w) > _COORD_BOUND or abs(page_h) > _COORD_BOUND:
+            results[i] = extract_pdfish(p)  # dims outside int64-safe math
             continue
         body = p[nl + 1 :]
         if not body:
@@ -122,28 +138,50 @@ def extract_pdfish_many(payloads: Sequence[str]) -> List[Result]:
         return results
     nums = nums.reshape(G, 4)
     x, y, wd, ht = nums[:, 0], nums[:, 1], nums[:, 2], nums[:, 3]
-    if min(y.min(), ht.min(), x.min(), wd.min()) < 0 or nums.max() > 2**31:
-        # negative coords/extents, or coords big enough that pid*big band
-        # keying (and shift math) could wrap int64 → tolerant per-row path
+    if min(y.min(), ht.min(), x.min(), wd.min()) < 0 or nums.max() > _COORD_BOUND:
+        # negative coords/extents, or coords big enough that the offset-key
+        # band/column math could wrap int64 → tolerant per-row path
         for i in pids:
             results[i] = extract_pdfish(payloads[i])
         return results
 
-    # per-payload orientation vote (A9 analog): rotated pages have glyphs
-    # wider than tall; swap axes so the portrait pipeline handles both
+    pw = np.asarray(page_ws, dtype=np.int64)
+    ph = np.asarray(page_hs, dtype=np.int64)
+
+    # ---- 4-way orientation vote per payload (A9 analog):
+    # aspect (Σwd vs Σht) → portrait/landscape; margin-excluded mass-center
+    # along the band axis → 0 vs 180 / 90 vs 270 (same vote as the slow path)
     wd_sum = np.add.reduceat(wd, gstart)
     ht_sum = np.add.reduceat(ht, gstart)
-    rot_pid = wd_sum > ht_sum
-    if rot_pid.any():
-        rot_g = np.repeat(rot_pid, cnt)
-        shift = int((x + wd).max()) + 1
-        bx = np.where(rot_g, y, x)                 # reading coord
-        by = np.where(rot_g, shift - (x + wd), y)  # band coord (kept >= 0)
-        bw = np.where(rot_g, ht, wd)               # reading extent
-        bh = np.where(rot_g, wd, ht)               # band extent
-    else:
-        shift = 0
-        bx, by, bw, bh = x, y, wd, ht
+    landscape = wd_sum > ht_sum
+
+    cx2 = 2 * x + wd
+    cy2 = 2 * y + ht
+    in_x = ~_margin_mask(cx2, pw[pid])
+    in_y = ~_margin_mask(cy2, ph[pid])
+    cnt_x = np.add.reduceat(in_x.astype(np.int64), gstart)
+    cnt_y = np.add.reduceat(in_y.astype(np.int64), gstart)
+    sum_x = np.add.reduceat(np.where(in_x, cx2, 0), gstart)
+    sum_y = np.add.reduceat(np.where(in_y, cy2, 0), gstart)
+    mass_x = (cnt_x > 0) & (sum_x > cnt_x * pw)   # stored-x mass below middle
+    mass_y = (cnt_y > 0) & (sum_y > cnt_y * ph)   # stored-y mass below middle
+
+    # orientation code: 0=upright, 1=90°CW, 2=180°, 3=270°CW
+    orient_p = np.where(landscape, np.where(mass_x, 1, 3), np.where(mass_y, 2, 0))
+    o = orient_p[pid]
+
+    # ---- remap to upright reading coords; negations become S-c (order-
+    # preserving, non-negative) with one global shift S
+    S = int(max((x + wd).max(), (y + ht).max())) + 1
+    neg_x = S - (x + wd)
+    neg_y = S - (y + ht)
+    bx = np.select([o == 0, o == 1, o == 2], [x, y, neg_x], default=neg_y)
+    by = np.select([o == 0, o == 1, o == 2], [y, neg_x, neg_y], default=x)
+    portrait_g = (o == 0) | (o == 2)
+    bw = np.where(portrait_g, wd, ht)
+    bh = np.where(portrait_g, ht, wd)
+    negband_p = (orient_p == 1) | (orient_p == 2)  # band coords were negated
+    dim_p = np.where((orient_p == 0) | (orient_p == 2), ph, pw)
 
     # ---- char offsets into each raw payload
     lens = np.fromiter(map(len, all_lines), dtype=np.int64, count=G)
@@ -152,36 +190,41 @@ def extract_pdfish_many(payloads: Sequence[str]) -> List[Result]:
     base = np.asarray(hdr_len, dtype=np.int64) - starts_rel[gstart]
     offs = starts_rel + np.repeat(base, cnt) + 2
 
-    # ---- interval-union clustering per payload (pid*BIG keying keeps
-    # payloads from ever merging; coords validated non-negative above)
-    end_y = by + bh
-    big = int(end_y.max()) + 1
-    ykey = by + pid * big
-    endkey = end_y + pid * big
+    # ---- column clustering per payload: x-projection union with gap
+    # threshold = COL_GAP_FACTOR * max reading extent (per payload)
+    thresh_p = PDFISH_COL_GAP_FACTOR * np.maximum.reduceat(bw, gstart)
+    thresh_g = thresh_p[pid]
+    bigx = S + int(thresh_p.max()) + 1
+    xkey = bx + pid * bigx
+    xend = bx + bw + pid * bigx
+    ordx = np.argsort(xkey, kind="stable")
+    run_endx = np.maximum.accumulate(xend[ordx])
+    brkc = np.empty(G, dtype=bool)
+    brkc[0] = True
+    brkc[1:] = xkey[ordx][1:] >= run_endx[:-1] + thresh_g[ordx][1:]
+    col_sorted = np.cumsum(brkc) - 1
+    col = np.empty(G, dtype=np.int64)
+    col[ordx] = col_sorted  # global column id, ascending in (pid, x)
+
+    # ---- y-interval band clustering per column (col id is globally unique)
+    bigy = S + 1
+    ykey = by + col * bigy
+    endkey = by + bh + col * bigy
     order = np.lexsort((bx, ykey))
     yk_s = ykey[order]
     run_end = np.maximum.accumulate(endkey[order])
     brk = np.empty(G, dtype=bool)
     brk[0] = True
     brk[1:] = yk_s[1:] >= run_end[:-1]
-    band = np.cumsum(brk) - 1  # global band id (pid-contiguous)
+    band = np.cumsum(brk) - 1  # global band id (pid- and col-contiguous)
 
     brk_idx = np.flatnonzero(brk)
     band_lo = by[order][brk_idx]
-    band_hi = np.maximum.reduceat(end_y[order], brk_idx)
+    band_hi = np.maximum.reduceat((by + bh)[order], brk_idx)
     band_pid = pid[order][brk_idx]
-    band_rot = rot_pid[band_pid] if rot_pid.any() else np.zeros(len(band_pid), bool)
-    dim = np.where(
-        band_rot,
-        np.asarray(page_ws, dtype=np.int64)[band_pid],
-        np.asarray(page_hs, dtype=np.int64)[band_pid],
-    )
-    # rotated band coords were mapped through shift-(x+wd): map centers back
-    c2 = np.where(band_rot, 2 * shift - (band_lo + band_hi), band_lo + band_hi)
-    keep_band = ~(
-        (PDFISH_MARGIN_DEN * c2 < 2 * PDFISH_MARGIN_NUM * dim)
-        | (PDFISH_MARGIN_DEN * c2 > 2 * (PDFISH_MARGIN_DEN - PDFISH_MARGIN_NUM) * dim)
-    )
+    c2t = band_lo + band_hi
+    c2 = np.where(negband_p[band_pid], 2 * S - c2t, c2t)
+    keep_band = ~_margin_mask(c2, dim_p[band_pid])
     kept_cum = np.cumsum(keep_band)
     first_band = np.searchsorted(band_pid, np.arange(P))
     pid_base = kept_cum[first_band] - keep_band[first_band]
@@ -227,7 +270,7 @@ def extract_pdfish_many(payloads: Sequence[str]) -> List[Result]:
         sel = np.flatnonzero(kg) + lo
         text = "".join([pieces[j] for j in sel.tolist()])
         u = unit2[sel]
-        o = offs2[sel]
-        spans = list(zip(u.tolist(), o.tolist(), (o + 1).tolist()))
+        oo = offs2[sel]
+        spans = list(zip(u.tolist(), oo.tolist(), (oo + 1).tolist()))
         results[pids[k]] = (text, spans)
     return results

@@ -1,14 +1,23 @@
-"""PDF-ish layout parsing: glyph clustering into lines via y-interval
-merging, top-to-bottom line ordering, left-to-right glyph ordering, word-gap
-spacing, header/footer margin stripping.
+"""PDF-ish layout parsing: 4-way orientation vote, x-gap column clustering,
+glyph clustering into lines via y-interval merging, top-to-bottom line
+ordering, left-to-right glyph ordering, word-gap spacing, header/footer
+margin stripping.
 
 Direct analog of the reference's line geometry:
-- y-interval union into line bands   ≈ interpreter.py:494-502 (A6);
-- line ordering by reading direction ≈ interpreter.py:85-102 (O1);
-- glyph ordering within a line       ≈ interpreter.py:95-96 (O2);
-- margin stripping                   ≈ boilerplate masking (P4-flavored).
+- orientation vote (0°/90°/180°/270°)   ≈ interpreter.py:55-82 (A9) — aspect
+  ratio separates portrait/landscape; content mass-center separates each
+  pair (180° is aspect-identical to 0°, but body text sits top-heavy);
+- column grouping above line detection  ≈ the per-paragraph p_id loop,
+  interpreter.py:133-171 (2-D reading order);
+- y-interval union into line bands      ≈ interpreter.py:494-502 (A6);
+- line ordering by reading direction    ≈ interpreter.py:85-102 (O1);
+- glyph ordering within a line          ≈ interpreter.py:95-96 (O2);
+- margin stripping                      ≈ boilerplate masking (P4-flavored).
 
-Integer arithmetic throughout — exact under any parallelism.
+Integer arithmetic throughout — exact under any parallelism. Known degraded
+mode (documented): a full-width run bridging a column gutter (e.g. a title
+spanning both columns) merges the columns for that page — output stays
+deterministic and loss-free, only the reading order interleaves.
 """
 
 from __future__ import annotations
@@ -16,6 +25,7 @@ from __future__ import annotations
 from typing import List, Tuple
 
 from univer_ocr_spark.constants import (
+    PDFISH_COL_GAP_FACTOR,
     PDFISH_MAGIC,
     PDFISH_MARGIN_DEN,
     PDFISH_MARGIN_NUM,
@@ -62,6 +72,94 @@ def parse_glyphs(payload: str) -> Tuple[int, int, List[Tuple[str, Glyph]]]:
     return page_w, page_h, glyphs
 
 
+def orient_glyphs(
+    glyphs: List[Tuple[str, Glyph]], page_w: int, page_h: int
+) -> Tuple[List[Tuple[str, Glyph]], int, bool]:
+    """4-way orientation vote (A9 analog, ref: interpreter.py:55-82) and
+    remap into upright reading coordinates.
+
+    Vote: glyph aspect (Σwd vs Σht) separates portrait from landscape; the
+    MAIN-content mass-center along the band axis separates 0° from 180° and
+    90° from 270° (aspect alone cannot — body text is top-heavy, so a
+    flipped page has its mass below the page middle). Margin-band glyphs
+    are excluded from the mass vote: the top-10%/bottom-10% exclusion is
+    mirror-symmetric, hence orientation-invariant, and without it a heavy
+    footer run outweighs a short body and flips the vote.
+
+    Returns ``(oriented, dim, neg)``: glyphs as (ch, (bx, by, bw, bh, off))
+    where bx/bw are reading-axis coord/extent and by/bh band-axis, ``dim``
+    the band-axis page extent for the margin rule, and ``neg`` True when
+    band coords were negated (margin centers un-negate with it).
+    """
+    if not glyphs:
+        return glyphs, page_h, False
+    sw = sum(g[1][2] for g in glyphs)
+    sh = sum(g[1][3] for g in glyphs)
+
+    def _mass_above(axis: int, ext: int, dim: int) -> bool:
+        """True if the non-margin mass-center sits BELOW the page middle
+        (i.e. the stored page is flipped along this axis)."""
+        tot = cnt = 0
+        for _ch, g in glyphs:
+            c2 = 2 * g[axis] + g[ext]
+            if (
+                PDFISH_MARGIN_DEN * c2 < 2 * PDFISH_MARGIN_NUM * dim
+                or PDFISH_MARGIN_DEN * c2
+                > 2 * (PDFISH_MARGIN_DEN - PDFISH_MARGIN_NUM) * dim
+            ):
+                continue  # margin glyph: symmetric → orientation-invariant
+            tot += c2
+            cnt += 1
+        return cnt > 0 and tot > cnt * dim
+
+    if sw > sh:  # landscape: stored 90° CW or 270° CW
+        # 90° CW puts the original top at high stored x
+        cw = _mass_above(0, 2, page_w)
+        if cw:
+            out = [
+                (ch, (y, -(x + wd), ht, wd, off))
+                for ch, (x, y, wd, ht, off) in glyphs
+            ]
+            return out, page_w, True
+        out = [
+            (ch, (-(y + ht), x, ht, wd, off))
+            for ch, (x, y, wd, ht, off) in glyphs
+        ]
+        return out, page_w, False
+    # portrait: 0° or 180° — flipped content mass sits below the middle
+    flipped = _mass_above(1, 3, page_h)
+    if flipped:
+        out = [
+            (ch, (-(x + wd), -(y + ht), wd, ht, off))
+            for ch, (x, y, wd, ht, off) in glyphs
+        ]
+        return out, page_h, True
+    return glyphs, page_h, False
+
+
+def cluster_columns(
+    glyphs: List[Tuple[str, Glyph]]
+) -> List[List[Tuple[str, Glyph]]]:
+    """Group glyphs into columns by x-projection interval union with a gap
+    threshold of COL_GAP_FACTOR × max reading extent. Columns are returned
+    in reading order (left to right)."""
+    if not glyphs:
+        return []
+    thresh = PDFISH_COL_GAP_FACTOR * max(g[1][2] for g in glyphs)
+    ordered = sorted(glyphs, key=lambda g: g[1][0])
+    cols: List[List[Tuple[str, Glyph]]] = []
+    cur_hi = None
+    for ch, g in ordered:
+        x, wd = g[0], g[2]
+        if cur_hi is None or x >= cur_hi + thresh:
+            cols.append([])
+            cur_hi = x + wd
+        else:
+            cur_hi = max(cur_hi, x + wd)
+        cols[-1].append((ch, g))
+    return cols
+
+
 def cluster_lines(
     glyphs: List[Tuple[str, Glyph]]
 ) -> List[Tuple[int, int, List[Tuple[str, Glyph]]]]:
@@ -96,49 +194,33 @@ def extract_pdfish(payload: str) -> Tuple[str, List[Span]]:
     turns at once; per payload this pure-Python path is faster.
     """
     page_w, page_h, glyphs = parse_glyphs(payload)
-
-    # Orientation vote (A9 analog, ref: interpreter.py:55-78): a 90°-rotated
-    # page flips every glyph's aspect ratio. Portrait glyphs are taller than
-    # wide; if the population is wider than tall, read bands along x.
-    rotated = bool(glyphs) and (
-        sum(g[1][2] for g in glyphs) > sum(g[1][3] for g in glyphs)
-    )
-    if rotated:
-        # map to the portrait pipeline: band coord = -(x+wd) (so top line of
-        # the original page, at max x after CW rotation, sorts first),
-        # reading coord = y, reading extent = ht, band extent = wd
-        glyphs = [
-            (ch, (y, -(x + wd), ht, wd, off))
-            for ch, (x, y, wd, ht, off) in glyphs
-        ]
-        dim = page_w
-    else:
-        dim = page_h
+    oriented, dim, neg = orient_glyphs(glyphs, page_w, page_h)
 
     spans: List[Span] = []
     unit_texts: List[str] = []
     unit = 0
-    for band_lo, band_hi, members in cluster_lines(glyphs):
-        # margin strip: drop if center < dim/10 or center > 9*dim/10
-        # (integers); rotated band coords are negated → negate back
-        c2 = -(band_lo + band_hi) if rotated else band_lo + band_hi
-        if (
-            PDFISH_MARGIN_DEN * c2 < 2 * PDFISH_MARGIN_NUM * dim
-            or PDFISH_MARGIN_DEN * c2
-            > 2 * (PDFISH_MARGIN_DEN - PDFISH_MARGIN_NUM) * dim
-        ):
-            continue
-        members.sort(key=lambda g: g[1][0])  # by x
-        chars: List[str] = []
-        prev_x = prev_w = None
-        for ch, (x, _y, wd, _ht, off) in members:
-            if prev_x is not None:
-                gap = x - (prev_x + prev_w)
-                if gap >= 1 and PDFISH_SPACE_DEN * gap >= PDFISH_SPACE_NUM * prev_w:
-                    chars.append(" ")
-            chars.append(ch)
-            spans.append((unit, off, off + 1))
-            prev_x, prev_w = x, wd
-        unit_texts.append("".join(chars))
-        unit += 1
+    for col in cluster_columns(oriented):
+        for band_lo, band_hi, members in cluster_lines(col):
+            # margin strip: drop if center < dim/10 or center > 9*dim/10
+            # (integers); negated band coords un-negate for the center
+            c2 = -(band_lo + band_hi) if neg else band_lo + band_hi
+            if (
+                PDFISH_MARGIN_DEN * c2 < 2 * PDFISH_MARGIN_NUM * dim
+                or PDFISH_MARGIN_DEN * c2
+                > 2 * (PDFISH_MARGIN_DEN - PDFISH_MARGIN_NUM) * dim
+            ):
+                continue
+            members.sort(key=lambda g: g[1][0])  # by reading coord
+            chars: List[str] = []
+            prev_x = prev_w = None
+            for ch, (x, _y, wd, _ht, off) in members:
+                if prev_x is not None:
+                    gap = x - (prev_x + prev_w)
+                    if gap >= 1 and PDFISH_SPACE_DEN * gap >= PDFISH_SPACE_NUM * prev_w:
+                        chars.append(" ")
+                chars.append(ch)
+                spans.append((unit, off, off + 1))
+                prev_x, prev_w = x, wd
+            unit_texts.append("".join(chars))
+            unit += 1
     return "\n".join(unit_texts), spans

@@ -4,9 +4,11 @@ A textual stand-in for a PDF content stream: header ``%PDFISH <w> <h>`` then
 one record per glyph ``g <ch> <x> <y> <wd> <ht>``, emitted in seeded-shuffled
 order so the extractor must re-cluster. Layout mirrors what the reference's
 line detection consumes: glyphs on shared baselines with disjoint vertical
-bands, separated words, plus isolated header/footer runs marked non-main
+bands, separated words, isolated header/footer runs marked non-main
 (ref: the y/x interval-merge of lines, interpreter.py:494-502, and line
-ordering, interpreter.py:85-102).
+ordering, interpreter.py:85-102), plus two-column pages (the p_id
+paragraph loop, interpreter.py:133-171) and all four storage orientations
+(the 0/90/180/270 vote, interpreter.py:55-82).
 
 All coordinates are integers, so extraction rules are exact.
 """
@@ -28,14 +30,20 @@ GLYPH_W = 8
 GLYPH_H = 10
 LINE_PITCH = 20  # > GLYPH_H → bands disjoint
 Y_FIRST = 120
-WORD_GAP = 2 * GLYPH_W  # gap = GLYPH_W ≥ GLYPH_W/2 → space by rule
+# two-column geometry: column 1 starts at x=40; narrow lines (≤3 short
+# words) keep its x-projection below 40+26*8=248; column 2 starts at 330 —
+# gutter ≥ 82 > 4*GLYPH_W=32, so the extractor's column rule always splits
+COL2_X = 330
 
 
-def _lay_line(rng: Random, y: int) -> Tuple[List[Tuple[str, int, int]], str]:
+def _lay_line(
+    rng: Random, y: int, x0: int = 40, words_lo: int = 2, words_hi: int = 6,
+    word_hi: int = 10,
+) -> Tuple[List[Tuple[str, int, int]], str]:
     """Lay out one text line at band [y, y+GLYPH_H); return (glyphs, text)."""
     glyphs: List[Tuple[str, int, int]] = []  # (ch, x, y)
-    words = [word(rng) for _ in range(rng.randint(2, 6))]
-    x = 40
+    words = [word(rng, hi=word_hi) for _ in range(rng.randint(words_lo, words_hi))]
+    x = x0
     for wi, w in enumerate(words):
         for ch in w:
             glyphs.append((ch, x, y))
@@ -44,39 +52,73 @@ def _lay_line(rng: Random, y: int) -> Tuple[List[Tuple[str, int, int]], str]:
     return glyphs, " ".join(words)
 
 
+def _rotate_box(orient: int, x: int, y: int, w: int, h: int):
+    """Stored box for a page rotated ``orient``×90° clockwise."""
+    if orient == 0:
+        return x, y, w, h
+    if orient == 1:  # 90° CW: top of page lands at high x
+        return PAGE_H - (y + h), x, h, w
+    if orient == 2:  # 180°
+        return PAGE_W - (x + w), PAGE_H - (y + h), w, h
+    return y, PAGE_W - (x + w), h, w  # 270° CW (= 90° CCW)
+
+
 def generate_pdfish(rng: Random) -> Tuple[str, str, List[Span], List[Block]]:
     """Return (payload, gold_text, gold_spans, gold_blocks).
 
-    ~25% of pages are stored rotated 90° clockwise (the scanned-sideways
-    case the reference's rotation search handles, ref: interpreter.py:320-338
-    W6 + orientation vote A9): every glyph box is rotated, the page header
-    carries the swapped dimensions, and the expected text is unchanged — the
-    extractor must detect the orientation (glyph aspect flips) and read
-    bands along x instead of y.
+    ~50% of pages are stored rotated (90°/180°/270°, the scanned-sideways /
+    upside-down cases of the reference's orientation vote+rotation search,
+    ref: interpreter.py:55-82, :320-338): every glyph box is rotated, the
+    page header carries the rotated dimensions, and the expected text is
+    unchanged — the extractor must recover the orientation (aspect vote +
+    content mass-center). ~25% of pages lay their body in two columns with
+    a wide gutter; reading order is column-major (left column fully first).
     """
+    two_col = rng.random() < 0.25
+
     # (ch, x, y, is_main, unit)
     glyphs: List[Tuple[str, int, int, bool, int]] = []
     gold_lines: List[str] = []
 
-    if rng.random() < 0.5:  # header run (top 10% band → boilerplate)
-        g, _ = _lay_line(rng, 10)
-        glyphs.extend((ch, x, y, False, -1) for ch, x, y in g)
-
-    n_lines = rng.randint(2, 7)
-    for k in range(n_lines):
-        g, text = _lay_line(rng, Y_FIRST + LINE_PITCH * k)
-        glyphs.extend((ch, x, y, True, k) for ch, x, y in g)
-        gold_lines.append(text)
-
-    if rng.random() < 0.5:  # footer run (bottom 10% band → boilerplate)
-        g, _ = _lay_line(rng, 770)
-        glyphs.extend((ch, x, y, False, -2) for ch, x, y in g)
+    if two_col:
+        # header/footer runs stay inside column 1's x-range so the gutter
+        # is never bridged (full-width banners are the documented degraded
+        # mode, not generated)
+        if rng.random() < 0.5:
+            g, _ = _lay_line(rng, 10, words_lo=2, words_hi=3, word_hi=6)
+            glyphs.extend((ch, x, y, False, -1) for ch, x, y in g)
+        unit = 0
+        for x0 in (40, COL2_X):
+            n_lines = rng.randint(2, 4)
+            for k in range(n_lines):
+                g, text = _lay_line(
+                    rng, Y_FIRST + LINE_PITCH * k, x0=x0,
+                    words_lo=2, words_hi=3, word_hi=6,
+                )
+                glyphs.extend((ch, x, y, True, unit) for ch, x, y in g)
+                gold_lines.append(text)
+                unit += 1
+        if rng.random() < 0.5:
+            g, _ = _lay_line(rng, 770, words_lo=2, words_hi=3, word_hi=6)
+            glyphs.extend((ch, x, y, False, -2) for ch, x, y in g)
+    else:
+        if rng.random() < 0.5:  # header run (top 10% band → boilerplate)
+            g, _ = _lay_line(rng, 10)
+            glyphs.extend((ch, x, y, False, -1) for ch, x, y in g)
+        n_lines = rng.randint(2, 7)
+        for k in range(n_lines):
+            g, text = _lay_line(rng, Y_FIRST + LINE_PITCH * k)
+            glyphs.extend((ch, x, y, True, k) for ch, x, y in g)
+            gold_lines.append(text)
+        if rng.random() < 0.5:  # footer run (bottom 10% band → boilerplate)
+            g, _ = _lay_line(rng, 770)
+            glyphs.extend((ch, x, y, False, -2) for ch, x, y in g)
 
     order = list(range(len(glyphs)))
     rng.shuffle(order)
-    rotated = rng.random() < 0.25
+    orient = 0 if rng.random() < 0.5 else rng.randrange(1, 4)
 
-    if rotated:  # 90° CW: box [x,x+w)×[y,y+h) → [H-(y+h), H-y)×[x, x+w)
+    if orient in (1, 3):  # landscape storage: header carries swapped dims
         header = f"{PDFISH_MAGIC} {PAGE_H} {PAGE_W}\n"
     else:
         header = f"{PDFISH_MAGIC} {PAGE_W} {PAGE_H}\n"
@@ -88,12 +130,8 @@ def generate_pdfish(rng: Random) -> Tuple[str, str, List[Span], List[Block]]:
     line_extent: dict = {}  # unit -> [min_off, max_off]
     for gi in order:
         ch, x, y, is_main, unit = glyphs[gi]
-        if rotated:
-            rec = (
-                f"g {ch} {PAGE_H - (y + GLYPH_H)} {x} {GLYPH_H} {GLYPH_W}\n"
-            )
-        else:
-            rec = f"g {ch} {x} {y} {GLYPH_W} {GLYPH_H}\n"
+        sx, sy, sw, sh = _rotate_box(orient, x, y, GLYPH_W, GLYPH_H)
+        rec = f"g {ch} {sx} {sy} {sw} {sh}\n"
         off = pos + 2  # offset of <ch> inside the record
         parts.append(rec)
         pos += len(rec)

@@ -98,6 +98,55 @@ FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id
 """
 
 
+def extract_html_entities_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity roundtrip through the REAL extraction stage: specials are
+    injected deterministically (a e o u i → & < > " ' — shipped doc text has
+    none), then entity-ENCODED into the payload (& first so no accidental
+    refs form); extraction must DECODE the content back verbatim.
+    Expected = the injected text, stated by the oracle by construction."""
+    d = _docs(spark, sf_dir)
+    content = F.translate(F.col("text"), "aeoui", "&<>\"'")
+    enc = content
+    for ch, ref in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                    ('"', "&quot;"), ("'", "&apos;")):
+        enc = F.replace(enc, F.lit(ch), F.lit(ref))
+    payload = F.concat(
+        F.lit('<html><body><nav><a href="/">home</a></nav><p>'),
+        enc,
+        F.lit("</p></body></html>"),
+    )
+    wrapped = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", payload.alias("text")
+    )
+    return (
+        extract_stage(wrapped)
+        .select("doc_id", "extracted_text",
+                F.col("n_spans").cast("long").alias("n_spans"))
+        .orderBy("doc_id")
+    )
+
+
+# expected span count by construction: one span per entity ref plus one per
+# maximal NON-EMPTY literal run between/around them. Computed identically
+# from the injected content here.
+EXTRACT_HTML_ENTITIES_SQL = r"""
+WITH enc AS (
+  SELECT doc_id, translate(text, 'aeoui', '&<>"''') AS content
+  FROM documents WHERE length(trim(text)) > 0),
+counted AS (
+  SELECT doc_id, content,
+         length(content) - length(regexp_replace(content, '[&<>"'']', '', 'g'))
+           AS n_ents,
+         len(list_filter(
+             regexp_split_to_array(regexp_replace(content, '[&<>"'']', chr(1), 'g'), chr(1)),
+             p -> p <> '')) AS n_runs
+  FROM enc)
+SELECT doc_id, content AS extracted_text,
+       CAST(n_ents + n_runs AS BIGINT) AS n_spans
+FROM counted ORDER BY doc_id
+"""
+
+
 def extract_markup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wrap each doc in an ANSI status line + markdown fences, run the real
     extraction stage. Expected = text with newlines flattened (content is
@@ -134,14 +183,16 @@ ORDER BY doc_id
 
 
 def _pdfish_payload(doc_id: int, text: str) -> str:
-    """Lay the doc's words out as one glyph line (y=400, safe band), records
-    shuffled deterministically by doc_id — the extractor must re-sort."""
+    """Lay the doc's words out as one glyph line (y=300: inside the margin
+    band AND above the page middle — a lone line below the middle is
+    indistinguishable from a 180°-flipped page by the mass-center vote),
+    records shuffled deterministically by doc_id — the extractor re-sorts."""
     words = text.split()
     recs = []
     x = 40
     for wi, w in enumerate(words):
         for ch in w:
-            recs.append(f"g {ch} {x} 400 8 10")
+            recs.append(f"g {ch} {x} 300 8 10")
             x += 8
         x += 8
     Random(doc_id).shuffle(recs)
@@ -178,6 +229,79 @@ def extract_pdfish_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRACT_PDFISH_DOCS_SQL = r"""
 SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS extracted_text
+FROM documents ORDER BY doc_id
+"""
+
+
+def _pdfish_columns_payload(doc_id: int, text: str) -> str:
+    """Lay the doc's words as a TWO-COLUMN page (3 words per line, first
+    half of the lines in column 1, rest in column 2, gutter > 4 glyph
+    widths), records shuffled deterministically by doc_id. Column-unaware
+    extraction would interleave the columns' shared y-bands and garble the
+    word order; correct column-major reading order reproduces the text."""
+    words = text.split()
+    lines = [words[i : i + 3] for i in range(0, len(words), 3)]
+    n1 = (len(lines) + 1) // 2
+    recs = []
+    max_end = 40
+
+    def lay(col_lines, x0):
+        nonlocal max_end
+        for k, lw in enumerate(col_lines):
+            x = x0
+            y = 120 + 20 * k
+            for w in lw:
+                for ch in w:
+                    recs.append(f"g {ch} {x} {y} 8 10")
+                    x += 8
+                x += 8
+            max_end = max(max_end, x)
+
+    lay(lines[:n1], 40)
+    col2_x0 = max_end + 64  # gutter 64 > 4*8 → always a column split
+    lay(lines[n1:], col2_x0)
+    Random(doc_id).shuffle(recs)
+    page_w = max_end + 100
+    return f"%PDFISH {page_w} 792\n" + "\n".join(recs) + ("\n" if recs else "")
+
+
+def extract_pdfish_columns_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-column reading order through the REAL extraction stage: expected
+    flat text = whitespace-normalized doc text (column-major order restores
+    the original word order by construction); n_units = line count."""
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def wrap(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "text": [
+                        _pdfish_columns_payload(int(i), t)
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    wrapped = d.mapInPandas(wrap, schema="doc_id long, text string")
+    out = extract_stage(wrapped)
+    return out.select(
+        "doc_id",
+        F.replace(F.col("extracted_text"), F.lit("\n"), F.lit(" ")).alias(
+            "extracted_flat"
+        ),
+        F.col("n_units").cast("long").alias("n_units"),
+    ).orderBy("doc_id")
+
+
+EXTRACT_PDFISH_COLUMNS_SQL = r"""
+SELECT doc_id,
+       regexp_replace(trim(text), '\s+', ' ', 'g') AS extracted_flat,
+       CAST(ceil(len(regexp_split_to_array(
+            regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) / 3.0) AS BIGINT)
+         AS n_units
 FROM documents ORDER BY doc_id
 """
 

@@ -27,13 +27,26 @@ from typing import Iterable, List, Sequence, Tuple
 Span = Tuple[int, int, int]  # (unit, start, end)
 
 
-def reconstruct(payload: str, spans: Sequence[Span]) -> str:
-    """Rebuild extracted text from the payload and its spans."""
+def reconstruct(payload: str, spans: Sequence[Span],
+                decode_html_entities: bool = False) -> str:
+    """Rebuild extracted text from the payload and its spans.
+
+    ``decode_html_entities=True`` applies the HTML archetype's span
+    convention: the extractor emits each entity reference as its own span,
+    so a span slice that IS one of the five standard entity refs decodes to
+    its character. Other archetypes keep every slice verbatim (a markup
+    content line may legitimately contain a literal '&amp;').
+    """
+    from univer_ocr_spark.constants import HTML_ENTITIES
+
     units: List[List[str]] = []
     for unit, start, end in spans:
         while len(units) <= unit:
             units.append([])
-        units[unit].append(payload[start:end])
+        piece = payload[start:end]
+        if decode_html_entities:
+            piece = HTML_ENTITIES.get(piece, piece)
+        units[unit].append(piece)
     return "\n".join("".join(parts) for parts in units)
 
 
