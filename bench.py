@@ -149,19 +149,23 @@ def main() -> None:
         out = conv_stats(run_extraction(df, drop_payload=True), n_salt=CPUS)
         out.agg(F.sum("total_chars")).collect()
 
-    # best of three: the job is ~2-5s at sf0.1 and this host is noisy, so
-    # take the fastest steady-state run as the headline
-    best = None
+    # three runs: best-of-3 is the headline (noisy shared host), median-of-3
+    # reported alongside so the steady-state claim is auditable
+    runs: list[float] = []
     for _ in range(3):
         bench("transcripts_extract", run_transcripts)
         t = timings.get("transcripts_extract")
         if t is not None:
-            best = t if best is None else min(best, t)
-    if best is not None:
-        timings["transcripts_extract"] = best
+            runs.append(t)
+    if runs:
+        timings["transcripts_extract"] = min(runs)
+        extras["transcripts_extract_median"] = sorted(runs)[len(runs) // 2]
     if "transcripts_extract" in timings and timings["transcripts_extract"] > 0:
         extras["turns_per_sec"] = round(
             extras.get("turns", 0) / timings["transcripts_extract"], 1
+        )
+        extras["turns_per_sec_median"] = round(
+            extras.get("turns", 0) / extras["transcripts_extract_median"], 1
         )
     bench("transcripts_conv_stats", run_conv_stats)
 
@@ -176,10 +180,13 @@ def main() -> None:
         ("dedup_exact", dedup.dedup_exact),
         ("minhash_lsh_pairs", dedup.minhash_lsh_pairs),
         ("ngram_jaccard_pairs", dedup.ngram_jaccard_pairs),
+        ("lsh_verified_pairs", dedup.lsh_verified_pairs),
+        ("neardup_clusters", dedup.neardup_clusters),
         ("ann_bruteforce_topk", similarity.ann_bruteforce_topk),
         ("ann_lsh_topk", similarity.ann_lsh_topk),
         ("extract_html_docs", extract_docs.extract_html_docs),
         ("extract_pdfish_docs", extract_docs.extract_pdfish_docs),
+        ("extract_pdfish_columns_docs", extract_docs.extract_pdfish_columns_docs),
     ]:
         bench(name, lambda fn=fn: fn(spark, SF_DIR).count())
 

@@ -131,13 +131,25 @@ def run_with_manifest(
     n_buckets: int = 16,
     input_snapshot: str = "",
     fail_after: Optional[int] = None,
+    max_concurrent: int = 1,
 ) -> List[int]:
     """Extract ``df`` bucket-by-bucket with commit-per-bucket semantics.
 
     Returns the list of buckets processed in THIS run (committed buckets
     from prior runs are skipped — the resume contract). ``fail_after=k``
     injects a crash after k bucket commits (for the kill/resume test).
+
+    ``max_concurrent>1`` keeps several buckets in flight at once (Spark
+    schedules concurrent jobs from multiple submitter threads) — at 10^12
+    turns a serial bucket loop leaves the cluster idle between job tails.
+    Bucket OUTPUT writes go to disjoint directories, so they are safe
+    concurrently; the tiny manifest append is serialized under a lock.
+    Commit semantics are unchanged: a bucket's manifest row lands only
+    after its output did, so a crash mid-flight resumes exactly.
     """
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
     staged = os.path.join(workdir, "staged")
     outdir = os.path.join(workdir, "extracted")
     manifest_dir = os.path.join(workdir, "manifest")
@@ -147,19 +159,16 @@ def run_with_manifest(
                              input_snapshot)
     processed: List[int] = []
     iceberg_table = iceberg_table_name()
+    manifest_lock = threading.Lock()
 
-    for b in range(n_buckets):
-        if b in done:
-            continue
-        if fail_after is not None and len(processed) >= fail_after:
-            raise RuntimeError(f"injected failure after {fail_after} buckets")
+    def process_bucket(b: int) -> None:
         t0 = time.time()
         bucket_dir = os.path.join(staged, f"bucket={b}")
         if not os.path.exists(bucket_dir):
             part = spark.createDataFrame([], df.schema)  # empty bucket
         else:
             part = spark.read.parquet(bucket_dir)
-        obs = Observation(f"bucket_{b}_rows")
+        obs = Observation(f"bucket_{b}_rows_{int(t0 * 1e6)}")
         out = run_extraction(part).observe(obs, F.count(F.lit(1)).alias("n"))
         if iceberg_table:
             output_snapshot = _iceberg_append(
@@ -182,12 +191,28 @@ def run_with_manifest(
             "rows_per_sec": round(n_rows / wall, 3) if wall > 0 else 0.0,
             "committed_at": time.time(),
         }
-        # the commit: manifest row lands only after the bucket output did
-        spark.createDataFrame([row], schema=MANIFEST_SCHEMA).write.mode(
-            "append"
-        ).parquet(manifest_dir)
-        processed.append(b)
-    return processed
+        # the commit: manifest row lands only after the bucket output did;
+        # appends share one staging dir, hence the lock
+        with manifest_lock:
+            spark.createDataFrame([row], schema=MANIFEST_SCHEMA).write.mode(
+                "append"
+            ).parquet(manifest_dir)
+            processed.append(b)
+
+    todo = [b for b in range(n_buckets) if b not in done]
+    if fail_after is not None or max_concurrent <= 1:
+        # serial path (also the deterministic fail-injection path)
+        for b in todo:
+            if fail_after is not None and len(processed) >= fail_after:
+                raise RuntimeError(
+                    f"injected failure after {fail_after} buckets"
+                )
+            process_bucket(b)
+        return processed
+    with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+        for f in [pool.submit(process_bucket, b) for b in todo]:
+            f.result()  # surface the first failure
+    return sorted(processed)
 
 
 def read_output(spark: SparkSession, workdir: str) -> DataFrame:
