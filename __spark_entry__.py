@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "embedding_cosine_neardup": similarity.embedding_cosine_neardup,
         "embedding_label_centroids": similarity.embedding_label_centroids,
         # multimodal binary-column plumbing
         "multimodal_meta": multimodal.multimodal_meta,
@@ -223,6 +224,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": dedup.simhash_signatures_sql(),
         "ann_bruteforce_topk": similarity.ANN_BRUTEFORCE_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_SQL,
+        "embedding_cosine_neardup": similarity.EMBEDDING_NEARDUP_SQL,
         "embedding_label_centroids": similarity.CENTROIDS_SQL,
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,
         "extract_html_docs": extract_docs.EXTRACT_HTML_DOCS_SQL,

@@ -47,6 +47,19 @@ def test_archetype_oracle_matches_golden(gen, kind):
             assert rebuilt == text, f"{kind} seed={seed}"
 
 
+def test_extract_single_matches_golden():
+    """S10 single-payload entry wraps the same oracle (ref: predict.py:44-46)."""
+    from univer_ocr_spark.extract import extract_single
+
+    for c in range(10):
+        row = build_turn(conv_id_of(c), 0)
+        d = extract_single(row["text"])
+        assert d["extracted_text"] == row["gold_text"]
+        assert d["spans"] == row["gold_spans"]
+        assert d["kind"] == row["payload_kind"]
+        assert d["n_spans"] == len(row["gold_spans"])
+
+
 def test_turns_deterministic_and_consistent():
     kinds = Counter()
     for c in range(40):

@@ -47,6 +47,22 @@ def extract_payload(payload: str) -> Tuple[str, List[Span], str]:
     return text, spans, kind
 
 
+def extract_single(payload: str) -> dict:
+    """S10 analog (ref: web_app/components/my_model/predict.py:44-46, the
+    web-upload single-payload route): ad-hoc extraction of ONE payload with
+    no Spark session — the exact function the Spark stage ships, wrapped in
+    the output-row shape the pipeline emits."""
+    text, spans, kind = extract_payload(payload or "")
+    return {
+        "extracted_text": text,
+        "spans": [{"unit": u, "start": s, "end": e} for (u, s, e) in spans],
+        "kind": kind,
+        "n_units": (spans[-1][0] + 1) if spans else 0,
+        "n_spans": len(spans),
+        "n_chars": len(text),
+    }
+
+
 def extract_payloads_batch(payloads) -> List[Tuple[str, List[Span], str]]:
     """Batch dispatch used by the Spark stage: pdfish payloads go through
     the NumPy-vectorized batch path (extract/pdfish_batch.py); html/markup

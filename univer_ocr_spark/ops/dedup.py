@@ -101,28 +101,55 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Permutation family: ONE md5 per shingle → two 60-bit ints (h1, h2) →
+# perm_k = (h1 + k*h2) mod (2^61-1). 8× less hashing than per-k md5 calls
+# and integer mins instead of string mins; exact on both engines
+# (h1 + 7*h2 < 2^63, no overflow anywhere).
+MINHASH_PRIME = 2305843009213693951  # 2^61 - 1
+
+
 def _signatures_from(ex: DataFrame) -> DataFrame:
+    md5c = F.md5(F.encode(F.col("shingle"), "UTF-8"))
+    h1 = F.conv(F.substring(md5c, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5c, 17, 15), 16, 10).cast("long")
+    hashed = ex.select("doc_id", h1.alias("h1"), h2.alias("h2"))
     aggs = [
-        F.min(F.md5(F.encode(F.concat(F.lit(f"{k}|"), F.col("shingle")), "UTF-8"))).alias(f"sig_{k}")
+        F.min(
+            F.pmod(F.col("h1") + F.lit(k) * F.col("h2"), F.lit(MINHASH_PRIME))
+        ).alias(f"sig_{k}")
         for k in range(MINHASH_K)
     ]
-    return ex.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def _h60_sql_duckdb(start: int) -> str:
+    """15 hex chars of md5(shingle) starting at ``start`` (1-based) as a
+    BIGINT — nibble arithmetic (DuckDB has no hex→int conversion)."""
+    terms = [
+        f"(strpos('0123456789abcdef', md5(shingle)[{start + i}:{start + i}]) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15)
+    ]
+    return "(" + " + ".join(terms) + ")"
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature per doc: sig_k = lexicographic min of
-    md5('<k>|' || shingle) — a portable permutation family. One shuffle
-    (groupBy doc_id over exploded distinct shingles)."""
+    """MinHash signature per doc: sig_k = min over shingles of
+    (h1 + k*h2) mod 2^61-1 with (h1, h2) split from one md5 — a portable
+    permutation family. One shuffle (groupBy doc_id over exploded distinct
+    shingles), map-side combined."""
     return _signatures_from(_exploded_shingles(spark, sf_dir)).orderBy("doc_id")
 
 
 def minhash_signatures_sql() -> str:
     aggs = ",\n       ".join(
-        f"min(md5('{k}|' || shingle)) AS sig_{k}" for k in range(MINHASH_K)
+        f"min((h1 + {k} * h2) % {MINHASH_PRIME}) AS sig_{k}"
+        for k in range(MINHASH_K)
     )
     return (
         f"SELECT doc_id,\n       {aggs}\n"
-        f"FROM (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL}))\n"
+        f"FROM (SELECT doc_id, {_h60_sql_duckdb(1)} AS h1, {_h60_sql_duckdb(17)} AS h2\n"
+        f"      FROM (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})))\n"
         f"GROUP BY doc_id ORDER BY doc_id"
     )
 
@@ -182,7 +209,7 @@ def _lsh_cte_sql() -> str:
     band_rows = []
     for b in range(LSH_BANDS):
         cols = " || '|' || ".join(
-            f"sig_{b * LSH_ROWS + r}" for r in range(LSH_ROWS)
+            f"CAST(sig_{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
         )
         band_rows.append(
             f"SELECT doc_id, {b} AS band, md5({cols}) AS band_key FROM sigs"

@@ -155,6 +155,73 @@ ORDER BY query_id, rank
 """
 
 
+NEARDUP_COS_THRESHOLD = 0.9
+NEARDUP_EPS = 0.1  # planted-twin perturbation on the last dimension
+
+
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, by construction: every 5th vector
+    gets a planted twin (last dim nudged by +0.1 — cosine ≥ 0.995 vs ≤ 0.513
+    for any natural pair in this corpus, measured), the detector must find
+    EXACTLY the planted pairs.
+
+    Scale path: candidates come from the sign-bucket LSH equi-join (the
+    twin's perturbed dim is outside the 8 bucket dims, so a planted pair
+    always shares its bucket); exact cosine is computed only within
+    buckets — never all-pairs.
+    """
+    e = _emb(spark, sf_dir)
+    base = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    dups = base.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.slice("v", 1, 63),
+            F.array(F.element_at("v", 64) + F.lit(NEARDUP_EPS)),
+        ).alias("v"),
+    )
+    alls = base.union(dups).withColumn(
+        "bucket", _sign_bucket("v").cast("long")
+    ).withColumn("norm", F.sqrt(_dot("v", "v"))).persist()
+    a = alls.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("norm").alias("na"), "bucket",
+    )
+    b = alls.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("norm").alias("nb"), "bucket",
+    )
+    cos = _dot("va", "vb") / F.col("na") / F.col("nb")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= NEARDUP_COS_THRESHOLD)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+EMBEDDING_NEARDUP_SQL = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dups AS (SELECT vec_id + 10000 AS vec_id,
+                list_concat(v[1:63], [v[64] + {NEARDUP_EPS}]) AS v
+         FROM base WHERE vec_id % 5 = 0),
+alls AS (SELECT vec_id, v, {_sign_bucket_sql('v')} AS bucket,
+                sqrt(list_dot_product(v, v)) AS norm
+         FROM (SELECT * FROM base UNION ALL SELECT * FROM dups)),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v) / a.norm / b.norm AS cos
+  FROM alls a JOIN alls b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cos, 4) AS cosine
+FROM pairs WHERE cos >= {NEARDUP_COS_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid (one k-means step's reduce side): posexplode +
     two-level groupBy — dimension-parallel, no driver-side vectors."""
