@@ -29,8 +29,15 @@ def _tokens(col):
     return F.split(F.trim(col), r"\s+")
 
 
+# BPE-ish pre-tokenizer regex (GPT-2-style run classes: letter runs, digit
+# runs, symbol runs). The whitespace class is spelled out so Java regex
+# (Spark) and RE2 (DuckDB) agree byte-for-byte (\s differs on \x0B).
+_BPEISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]+"
+
+
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token/char counting (whitespace tokenization)."""
+    """Token/char counting: whitespace tokens + BPE-ish regex tokens (the
+    pre-tokenization count an LLM-data pipeline budgets by)."""
     d = _docs(spark, sf_dir)
     toks = _tokens(F.col("text"))
     return d.select(
@@ -39,16 +46,20 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.length(F.trim("text")) == 0, F.lit(0))
         .otherwise(F.size(toks)).cast("long")
         .alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(_BPEISH_RE), F.lit(0))
+        ).cast("long").alias("n_bpeish_tokens"),
         F.length(F.regexp_replace("text", r"\s+", "")).cast("long").alias("n_nonspace_chars"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
     ).orderBy("doc_id")
 
 
-DOC_TOKEN_STATS_SQL = r"""
+DOC_TOKEN_STATS_SQL = rf"""
 SELECT doc_id,
        length(text) AS len_chars,
        CASE WHEN length(trim(text)) = 0 THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+       len(regexp_extract_all(text, '{_BPEISH_RE}')) AS n_bpeish_tokens,
        length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace_chars,
        len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct_tokens
 FROM documents ORDER BY doc_id
