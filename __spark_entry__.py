@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": textstats.doc_fingerprint,
         "doc_ngram_mode": textstats.doc_ngram_mode,
         "doc_sample_deterministic": textstats.doc_sample_deterministic,
+        "doc_quality_filter": textstats.doc_quality_filter,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "minhash_signatures": dedup.minhash_signatures,
@@ -155,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_verified_pairs": dedup.lsh_verified_pairs,
         "neardup_clusters": dedup.neardup_clusters,
         "simhash_signatures": dedup.simhash_signatures,
+        "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         # similarity search
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
@@ -215,6 +217,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
         "doc_ngram_mode": textstats.DOC_NGRAM_MODE_SQL,
         "doc_sample_deterministic": textstats.DOC_SAMPLE_SQL,
+        "doc_quality_filter": textstats.doc_quality_filter_sql(),
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "minhash_signatures": dedup.minhash_signatures_sql(),
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs_sql(),
@@ -222,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_verified_pairs": dedup.LSH_VERIFIED_PAIRS_SQL,
         "neardup_clusters": dedup.NEARDUP_CLUSTERS_SQL,
         "simhash_signatures": dedup.simhash_signatures_sql(),
+        "simhash_neardup_pairs": dedup.simhash_neardup_pairs_sql(),
         "ann_bruteforce_topk": similarity.ANN_BRUTEFORCE_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_SQL,
         "embedding_cosine_neardup": similarity.EMBEDDING_NEARDUP_SQL,

@@ -495,3 +495,75 @@ def simhash_signatures_sql() -> str:
         f"WITH shingled AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),\n"
         + _simhash_select(_h32_sql_duckdb("shingle"))[5:]  # strip 'WITH '
     )
+
+
+SIMHASH_BANDS = 4  # 4 × 8-bit bands: any pair within Hamming distance 3
+SIMHASH_HAMMING_MAX = 3  # shares at least one untouched band (pigeonhole)
+
+
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ 3.
+
+    Scale shape: candidates come from an 8-bit band-key equi-join (a pair
+    differing in ≤3 of 32 bits MUST agree on one of the 4 bands — exact
+    recall by pigeonhole, never all-pairs); the popcount verify runs only
+    on candidates. The banded-Hamming trick is the standard large-scale
+    simhash dedup plan (Manku et al., WWW'07 — public literature).
+    """
+    sigs = simhash_signatures(spark, sf_dir)
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.expr(f"(shiftright(simhash, {8 * j}) & 255)").alias("bv"),
+        )
+        for j in range(SIMHASH_BANDS)
+    ]
+    banded = (
+        sigs.select(
+            "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
+        )
+        .select("doc_id", "simhash", "bk.band", "bk.bv")
+        .persist()
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"),
+        "band", "bv",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"),
+        "band", "bv",
+    )
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+        .withColumn(
+            "hamming", F.expr("CAST(bit_count(ha ^ hb) AS BIGINT)")
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_neardup_pairs_sql() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS band,"
+        f" (simhash >> {8 * j}) & 255 AS bv FROM sh"
+        for j in range(SIMHASH_BANDS)
+    )
+    inner = _simhash_select(_h32_sql_duckdb("shingle")).replace(
+        "ORDER BY doc_id", ""
+    )  # the full simhash query (own nested WITH) becomes the sh CTE body
+    return (
+        f"WITH shingled AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),\n"
+        f"sh AS ({inner}),\n"
+        f"banded AS ({bands})\n"
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
+        "       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming\n"
+        "FROM banded a JOIN banded b\n"
+        "  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id\n"
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}\n"
+        "ORDER BY doc_a, doc_b"
+    )

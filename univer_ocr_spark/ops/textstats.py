@@ -224,3 +224,73 @@ SELECT doc_id, k FROM (
   FROM documents) t
 WHERE k < '4' ORDER BY doc_id
 """
+
+
+QF_MIN_TOKENS = 25
+
+
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed keep/drop gate — the decision a training-data pipeline
+    actually applies: exact-duplicate drop, then minimum length, then
+    language gate (stopword vote must identify a language), with the FIRST
+    failing rule as the recorded reason. One scan + one window shuffle."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    fp = F.md5(
+        F.encode(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), "UTF-8")
+    )
+    toks = _tokens(F.col("text"))
+    n_tokens = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(F.size(toks))
+    lo = _tokens(F.lower(F.col("text")))
+    hits = [
+        F.size(F.filter(lo, lambda x: x.isin(*words)))
+        for words in STOPWORDS.values()
+    ]
+    best = F.greatest(*hits)
+    w = W.partitionBy("fingerprint")
+    scored = d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        n_tokens.alias("n_tokens"),
+        best.alias("best_hits"),
+    ).withColumn("is_dup", F.col("doc_id") != F.min("doc_id").over(w))
+    reason = (
+        F.when(F.col("is_dup"), F.lit("duplicate"))
+        .when(F.col("n_tokens") < QF_MIN_TOKENS, F.lit("too_short"))
+        .when(F.col("best_hits") == 0, F.lit("und_lang"))
+        .otherwise(F.lit("kept"))
+    )
+    return scored.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "kept").alias("keep"),
+    ).orderBy("doc_id")
+
+
+def doc_quality_filter_sql() -> str:
+    hit_cols = ", ".join(
+        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+        f"x -> x IN {words!r}))"
+        for words in STOPWORDS.values()
+    )
+    return rf"""
+WITH scored AS (
+  SELECT doc_id,
+         doc_id <> min(doc_id) OVER (PARTITION BY
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS is_dup,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         greatest({hit_cols}) AS best_hits
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN is_dup THEN 'duplicate'
+            WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short'
+            WHEN best_hits = 0 THEN 'und_lang'
+            ELSE 'kept' END AS reason,
+       (CASE WHEN is_dup THEN 'duplicate'
+             WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short'
+             WHEN best_hits = 0 THEN 'und_lang'
+             ELSE 'kept' END) = 'kept' AS keep
+FROM scored ORDER BY doc_id
+"""
