@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
         "embedding_cosine_neardup": similarity.embedding_cosine_neardup,
         "embedding_label_centroids": similarity.embedding_label_centroids,
         # multimodal binary-column plumbing
@@ -228,6 +229,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs_sql(),
         "ann_bruteforce_topk": similarity.ANN_BRUTEFORCE_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_SQL,
+        "ann_ivf_topk": similarity.ANN_IVF_SQL,
         "embedding_cosine_neardup": similarity.EMBEDDING_NEARDUP_SQL,
         "embedding_label_centroids": similarity.CENTROIDS_SQL,
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,

@@ -155,6 +155,119 @@ ORDER BY query_id, rank
 """
 
 
+IVF_N_PROBE = 2
+IVF_TOP_K = 3
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse cells = per-label centroids (the k-means
+    assignment a real IVF index trains; labels stand in deterministically),
+    each query probes its IVF_N_PROBE closest cells, exact cosine runs only
+    over the probed cells' members.
+
+    Scale shape: the centroid table is tiny (cells × dims) and broadcasts;
+    cell assignment of candidates is a column they already carry; the
+    expensive exact scoring touches only probed cells — candidate work is
+    a cells-probed/cells-total fraction of the corpus, never a full scan.
+    Centroid components round to 6dp on both engines BEFORE any dot
+    product, so every downstream float is a deterministic left fold of
+    identical inputs.
+    """
+    e = _emb(spark, sf_dir)
+    # per-label centroid as a pos-sorted ARRAY (fold order = pos order)
+    cent_pos = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+    )
+    cent = (
+        cent_pos.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("c_arr")
+        )
+        .withColumn("c_norm", F.sqrt(_dot("c_arr", "c_arr")))
+        .persist()
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("q_emb"),
+    ).withColumn("q_norm", F.sqrt(_dot("q_emb", "q_emb"))).persist()
+    w_probe = W.partitionBy("query_id").orderBy(
+        F.desc("c_cos"), F.asc("label")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "c_cos",
+            F.round(_dot("q_emb", "c_arr") / F.col("q_norm") / F.col("c_norm"), 6),
+        )
+        .withColumn("prb", F.row_number().over(w_probe))
+        .filter(F.col("prb") <= IVF_N_PROBE)
+        .select("query_id", "q_emb", "q_norm", "label")
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        "label",
+    ).withColumn("cd_norm", F.sqrt(_dot("c_emb", "c_emb")))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        c.join(F.broadcast(probes), "label")
+        .withColumn("cos", _dot("q_emb", "c_emb") / F.col("q_norm") / F.col("cd_norm"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= IVF_TOP_K)
+        .select(
+            "query_id", "cand_id", F.col("label").alias("probed_label"),
+            "rank", F.round("cos", 4).alias("cosine"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH cent_pos AS (
+  SELECT label, i - 1 AS pos,
+         round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS cv
+  FROM embeddings CROSS JOIN range(1, 513) t(i)
+  WHERE i <= len(embedding)
+  GROUP BY label, i),
+cent AS (
+  SELECT label, list(cv ORDER BY pos) AS c_arr,
+         sqrt(list_dot_product(list(cv ORDER BY pos), list(cv ORDER BY pos))) AS c_norm
+  FROM cent_pos GROUP BY label),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS q_norm
+      FROM embeddings WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, q_emb, q_norm, label FROM (
+    SELECT q.query_id, q.q_emb, q.q_norm, cent.label,
+           row_number() OVER (PARTITION BY q.query_id
+              ORDER BY round(list_dot_product(q.q_emb, cent.c_arr) / q.q_norm / cent.c_norm, 6) DESC,
+                       cent.label ASC) AS prb
+    FROM q CROSS JOIN cent) t
+  WHERE prb <= {IVF_N_PROBE}),
+c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS c_emb, label,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS cd_norm
+      FROM embeddings WHERE vec_id >= {N_QUERIES}),
+scored AS (
+  SELECT p.query_id, c.cand_id, c.label AS probed_label,
+         list_dot_product(p.q_emb, c.c_emb) / p.q_norm / c.cd_norm AS cos
+  FROM c JOIN probes p ON c.label = p.label),
+ranked AS (
+  SELECT query_id, cand_id, probed_label, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, cand_id ASC) AS rank
+  FROM scored)
+SELECT query_id, cand_id, probed_label, CAST(rank AS BIGINT) AS rank,
+       round(cos, 4) AS cosine
+FROM ranked WHERE rank <= {IVF_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 NEARDUP_COS_THRESHOLD = 0.9
 NEARDUP_EPS = 0.1  # planted-twin perturbation on the last dimension
 
