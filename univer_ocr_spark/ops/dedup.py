@@ -102,9 +102,10 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Permutation family: ONE md5 per shingle → two 60-bit ints (h1, h2) →
-# perm_k = (h1 + k*h2) mod (2^61-1). 8× less hashing than per-k md5 calls
-# and integer mins instead of string mins; exact on both engines
-# (h1 + 7*h2 < 2^63, no overflow anywhere).
+# perm_k = (h1 + k*h2) mod (2^61-1) — the standard reduced-independence
+# MinHash family (Broder '97 resemblance sketches; 2-universal h1+k·h2 per
+# Carter-Wegman). 8× less hashing than per-k md5 calls and integer mins
+# instead of string mins; exact on both engines (h1 + 7*h2 < 2^63).
 MINHASH_PRIME = 2305843009213693951  # 2^61 - 1
 
 
