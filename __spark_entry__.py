@@ -63,6 +63,12 @@ def _transcripts_extract_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ONE definition of the transcript-dataset shape: the Spark queries
+# (_transcripts_full) and the DuckDB goldens (oracle_sql) must describe the
+# SAME dataset or every transcript oracle mismatches.
+N_CONVS, MEGA_COUNT, MEGA_SIZE = 60, 1, 200
+
+
 def _transcripts_full(spark: SparkSession):
     from univer_ocr_spark.generator.transcripts import transcripts_df
     from univer_ocr_spark.spark.pipeline import run_extraction
@@ -70,8 +76,8 @@ def _transcripts_full(spark: SparkSession):
     # persist: run_extraction's skew-detection pre-pass and the extraction
     # job both consume this generator output — without the cache the full
     # table is generated twice
-    df = transcripts_df(spark, 60, mega_conv_count=1, mega_conv_size=200,
-                        partitions=8).persist()
+    df = transcripts_df(spark, N_CONVS, mega_conv_count=MEGA_COUNT,
+                        mega_conv_size=MEGA_SIZE, partitions=8).persist()
     return run_extraction(df, partitions=8, salt_threshold=100, n_salt=4)
 
 
@@ -194,7 +200,8 @@ def oracle_sql() -> dict[str, str]:
     from univer_ocr_spark.generator.goldens import goldens_parquet
 
     # materialized on first call (pure Python, ~1s, cached by generator hash)
-    goldens = goldens_parquet(n_convs=60, mega_conv_count=1, mega_conv_size=200)
+    goldens = goldens_parquet(n_convs=N_CONVS, mega_conv_count=MEGA_COUNT,
+                              mega_conv_size=MEGA_SIZE)
     return {
         "q1_pricing_summary": relational.Q1_SQL,
         "q_revenue_by_nation": relational.Q_REVENUE_BY_NATION_SQL,

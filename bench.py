@@ -158,8 +158,10 @@ def main() -> None:
         if t is not None:
             runs.append(t)
     if runs:
+        import statistics
+
         timings["transcripts_extract"] = min(runs)
-        extras["transcripts_extract_median"] = sorted(runs)[len(runs) // 2]
+        extras["transcripts_extract_median"] = round(statistics.median(runs), 3)
     if "transcripts_extract" in timings and timings["transcripts_extract"] > 0:
         extras["turns_per_sec"] = round(
             extras.get("turns", 0) / timings["transcripts_extract"], 1

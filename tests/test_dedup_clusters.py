@@ -20,7 +20,7 @@ def test_min_label_cc_deep_chain(spark):
     edges = p.union(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     got = {
         r["doc_id"]: r["label"]
-        for r in _min_label_cc(nodes, edges, max_rounds=20).collect()
+        for r in _min_label_cc(nodes, edges).collect()  # default: to fixpoint
     }
     want = {i: 0 for i in range(10)}
     want.update({20: 20, 21: 20, 22: 20, 30: 30})

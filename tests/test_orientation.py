@@ -34,6 +34,19 @@ def _payload(orient: int) -> str:
     return header + "".join(recs)
 
 
+def test_long_doc_multi_column_roundtrip():
+    """Documents longer than two columns' capacity must wrap into more
+    columns instead of drifting below the page middle (where the 180° mass
+    vote would flip them) — review finding r02."""
+    from univer_ocr_spark.ops.extract_docs import _pdfish_columns_payload
+
+    words = [f"w{i:03d}" for i in range(180)]
+    text = " ".join(words)
+    got, _spans = extract_pdfish(_pdfish_columns_payload(7, text))
+    assert got.replace("\n", " ") == text
+    assert got.count("\n") + 1 == 60  # ceil(180/3) lines
+
+
 def test_four_orientations_two_columns():
     payloads = [_payload(o) for o in range(4)]
     batch = extract_pdfish_many(payloads)

@@ -1,6 +1,7 @@
-"""Streaming first-seen dedup must keep exactly the batch canonical set:
-with doc_id-ordered arrival the first-seen doc per fingerprint IS the batch
-min(doc_id) keeper — including duplicates split ACROSS micro-batches."""
+"""Streaming min-wins dedup must keep exactly the batch canonical set —
+including duplicates split ACROSS micro-batches AND a same-batch duplicate
+whose larger id arrives alongside the original (where first-seen semantics
+would be nondeterministic)."""
 
 from __future__ import annotations
 
@@ -19,23 +20,30 @@ SF = "/root/testdata/sf0.001"
 
 def test_stream_dedup_matches_batch(spark, tmp_path):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    # plant cross-batch duplicates: copies of docs 0..4 with high ids land
-    # in the SECOND file — state must suppress them
-    dup = docs.filter(F.col("doc_id") < 5).withColumn(
+    n = docs.count()
+    # cross-batch duplicates: copies of docs 0..4 land in the SECOND file
+    dup_cross = docs.filter(F.col("doc_id") < 5).withColumn(
         "doc_id", F.col("doc_id") + 100000
     )
-    all_docs = docs.union(dup)
-    n = docs.count()
+    # same-batch duplicate: a copy of a second-file doc, larger id, SAME file
+    base_id = n // 2
+    dup_same = docs.filter(F.col("doc_id") == base_id).withColumn(
+        "doc_id", F.col("doc_id") + 200000
+    )
+    all_docs = docs.union(dup_cross).union(dup_same)
+
     src = str(tmp_path / "src")
-    first = all_docs.filter(F.col("doc_id") < n // 2)
-    second = all_docs.filter(F.col("doc_id") >= n // 2)
+    first = all_docs.filter(F.col("doc_id") < base_id)
+    second = all_docs.filter(F.col("doc_id") >= base_id)
     first.coalesce(1).write.mode("overwrite").parquet(src)
     time.sleep(1.1)  # distinct mtimes: file order = trigger order
     second.coalesce(1).write.mode("append").parquet(src)
 
-    # batch truth over the SAME (docs + planted dup) table
+    # batch truth over the SAME (docs + planted dups) table
     batch_src = str(tmp_path / "batch")
-    all_docs.write.mode("overwrite").parquet(str(tmp_path / "batch" / "documents.parquet"))
+    all_docs.write.mode("overwrite").parquet(
+        str(tmp_path / "batch" / "documents.parquet")
+    )
     want = {
         (r["doc_id"], r["fingerprint"])
         for r in dedup_exact(spark, batch_src).filter(~F.col("is_dup")).collect()
@@ -47,4 +55,4 @@ def test_stream_dedup_matches_batch(spark, tmp_path):
         for r in stream_keepers(spark, "dedup_t").collect()
     }
     assert got == want
-    assert len(got) == n  # the 5 planted dups were suppressed
+    assert len(got) == n  # all 6 planted dups were suppressed

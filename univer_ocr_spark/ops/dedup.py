@@ -31,10 +31,17 @@ def _norm(col):
     return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
 
 
+def fingerprint_expr(col):
+    """Canonical content fingerprint — the ONE definition shared by batch
+    dedup, streaming dedup and the quality filter (drift here would silently
+    break their tested equivalences)."""
+    return F.md5(F.encode(_norm(col), "UTF-8"))
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: canonical id = min(doc_id) per content fingerprint."""
     d = _docs(spark, sf_dir)
-    fp = F.md5(F.encode(_norm(F.col("text")), "UTF-8"))
+    fp = fingerprint_expr(F.col("text"))
     w = W.partitionBy("fingerprint")
     return (
         d.select("doc_id", fp.alias("fingerprint"))
@@ -359,15 +366,17 @@ LSH_VERIFIED_PAIRS_SQL = (
 
 
 def _min_label_cc(nodes: DataFrame, edges: DataFrame,
-                  max_rounds: int = 20) -> DataFrame:
+                  max_rounds: int | None = None) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
-    ``nodes``: (doc_id); ``edges``: (src, dst), must be symmetric. Each round
-    is one shuffle (join + min-agg); the loop stops when no label changes or
-    after ``max_rounds`` (propagation needs diameter-many rounds; near-dup
-    clusters are shallow — the reference analog is the bounded-pass region
-    labeling A1, ref: interpreter.py:16-21). The fixpoint is unique, so the
-    result is independent of round count once converged.
+    ``nodes``: (doc_id); ``edges``: (src, dst), must be symmetric. Each
+    round is one shuffle (join + min-agg); the loop runs TO THE FIXPOINT
+    (no label changes) by default — matching the oracle's unbounded
+    recursive flood — and terminates because labels only decrease
+    (propagation needs diameter-many rounds; the reference analog is the
+    region labeling A1, ref: interpreter.py:16-21). ``max_rounds`` exists
+    only for tests/debugging; the fixpoint is unique, so the result is
+    independent of iteration order.
     """
     # localCheckpoint (not persist): iterative self-joins grow the logical
     # plan by two joins per round — without lineage truncation the analyzed
@@ -375,7 +384,9 @@ def _min_label_cc(nodes: DataFrame, edges: DataFrame,
     # round keeps every plan one-round deep.
     labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
     edges = edges.localCheckpoint()
-    for _ in range(max_rounds):
+    rounds = 0
+    while max_rounds is None or rounds < max_rounds:
+        rounds += 1
         nbr = (
             edges.join(labels, edges["src"] == labels["doc_id"])
             .groupBy(edges["dst"].alias("doc_id"))

@@ -233,21 +233,25 @@ FROM documents ORDER BY doc_id
 """
 
 
+COL_MAX_LINES = 14  # max y = 120+13*20 = 380: every glyph center 2y+ht
+# stays < page_h=792 (above the page middle — a taller column would flip
+# the 180° orientation vote) and outside both margin bands
+
+
 def _pdfish_columns_payload(doc_id: int, text: str) -> str:
-    """Lay the doc's words as a TWO-COLUMN page (3 words per line, first
-    half of the lines in column 1, rest in column 2, gutter > 4 glyph
-    widths), records shuffled deterministically by doc_id. Column-unaware
-    extraction would interleave the columns' shared y-bands and garble the
-    word order; correct column-major reading order reproduces the text."""
+    """Lay the doc's words as a MULTI-COLUMN page (3 words per line, at
+    most COL_MAX_LINES lines per column, columns filled left to right with
+    gutters > 4 glyph widths), records shuffled deterministically by
+    doc_id. Column-unaware extraction would interleave the columns' shared
+    y-bands and garble the word order; correct column-major reading order
+    reproduces the text for ANY document length."""
     words = text.split()
     lines = [words[i : i + 3] for i in range(0, len(words), 3)]
-    n1 = (len(lines) + 1) // 2
     recs = []
-    max_end = 40
-
-    def lay(col_lines, x0):
-        nonlocal max_end
-        for k, lw in enumerate(col_lines):
+    x0 = 40
+    for c0 in range(0, len(lines), COL_MAX_LINES):
+        max_end = x0
+        for k, lw in enumerate(lines[c0 : c0 + COL_MAX_LINES]):
             x = x0
             y = 120 + 20 * k
             for w in lw:
@@ -256,12 +260,9 @@ def _pdfish_columns_payload(doc_id: int, text: str) -> str:
                     x += 8
                 x += 8
             max_end = max(max_end, x)
-
-    lay(lines[:n1], 40)
-    col2_x0 = max_end + 64  # gutter 64 > 4*8 → always a column split
-    lay(lines[n1:], col2_x0)
+        x0 = max_end + 64  # gutter 64 > 4*8 → always a column split
     Random(doc_id).shuffle(recs)
-    page_w = max_end + 100
+    page_w = x0 + 100
     return f"%PDFISH {page_w} 792\n" + "\n".join(recs) + ("\n" if recs else "")
 
 
@@ -271,7 +272,12 @@ def extract_pdfish_columns_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the original word order by construction); n_units = line count."""
     import pandas as pd
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    # empty/whitespace-only docs produce a glyph-less page (0 units) while
+    # the word-count oracle would state 1 — exclude identically on both
+    # sides, like the html twins
+    d = _docs(spark, sf_dir).filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", "text"
+    )
 
     def wrap(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -302,7 +308,7 @@ SELECT doc_id,
        CAST(ceil(len(regexp_split_to_array(
             regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) / 3.0) AS BIGINT)
          AS n_units
-FROM documents ORDER BY doc_id
+FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id
 """
 
 

@@ -212,7 +212,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
         "label",
-    ).withColumn("cd_norm", F.sqrt(_dot("c_emb", "c_emb")))
+    ).withColumn("cd_norm", F.sqrt(_dot("c_emb", "c_emb"))).persist()
+    # persist = projection barrier (CLAUDE.md lesson): without it Catalyst
+    # inlines cd_norm's HOF dot into the per-pair cos expression
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
         c.join(F.broadcast(probes), "label")

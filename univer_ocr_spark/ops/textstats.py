@@ -236,10 +236,10 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     failing rule as the recorded reason. One scan + one window shuffle."""
     from pyspark.sql import Window as W
 
+    from univer_ocr_spark.ops.dedup import fingerprint_expr
+
     d = _docs(spark, sf_dir)
-    fp = F.md5(
-        F.encode(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), "UTF-8")
-    )
+    fp = fingerprint_expr(F.col("text"))
     toks = _tokens(F.col("text"))
     n_tokens = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(F.size(toks))
     lo = _tokens(F.lower(F.col("text")))

@@ -111,12 +111,20 @@ def iceberg_table_name() -> Optional[str]:
     return os.environ.get("UNIVER_ICEBERG_TABLE") or None
 
 
-def _iceberg_append(out: DataFrame, table: str) -> str:
-    """Commit one bucket to an Iceberg table via the DataFrameWriterV2 API and
-    return the resulting snapshot id (read back from the table's snapshots
-    metadata — the lineage the manifest row must cite)."""
+def _iceberg_commit(out: DataFrame, table: str) -> str:
+    """Commit one bucket to an Iceberg table via the DataFrameWriterV2 API
+    and return the resulting snapshot id (read back from the table's
+    snapshots metadata — the lineage the manifest row must cite).
+
+    ``overwritePartitions`` (not ``append``) keeps the resume contract
+    idempotent: the table is partitioned by ``bucket``, so re-running a
+    bucket whose output landed but whose manifest row didn't replaces that
+    partition instead of duplicating rows. Callers must serialize calls
+    (run_with_manifest holds its lock here) so the snapshot-id read-back
+    cannot observe another bucket's commit.
+    """
     spark = out.sparkSession
-    out.writeTo(table).append()
+    out.writeTo(table).overwritePartitions()
     snap = spark.sql(
         f"SELECT snapshot_id FROM {table}.snapshots "
         "ORDER BY committed_at DESC LIMIT 1"
@@ -171,9 +179,12 @@ def run_with_manifest(
         obs = Observation(f"bucket_{b}_rows_{int(t0 * 1e6)}")
         out = run_extraction(part).observe(obs, F.count(F.lit(1)).alias("n"))
         if iceberg_table:
-            output_snapshot = _iceberg_append(
-                out.withColumn("bucket", F.lit(b)), iceberg_table
-            )
+            # Iceberg commits serialize table-side anyway; the lock also
+            # pins the snapshot-id read-back to THIS bucket's commit
+            with manifest_lock:
+                output_snapshot = _iceberg_commit(
+                    out.withColumn("bucket", F.lit(b)), iceberg_table
+                )
         else:
             out.write.mode("overwrite").parquet(
                 os.path.join(outdir, f"bucket={b}")

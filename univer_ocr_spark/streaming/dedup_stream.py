@@ -1,22 +1,19 @@
-"""Streaming exact dedup: first-seen-wins over a content fingerprint.
+"""Streaming exact dedup: min-doc_id-wins over a content fingerprint.
 
-The streaming twin of ops/dedup.dedup_exact — ``dropDuplicates`` on a
-fingerprint column keeps per-key state across micro-batches, so a document
-whose duplicate arrived in an earlier file is suppressed (the online form
-of the batch min-per-fingerprint canonicalization; with time-ordered
-arrival the keeper sets coincide). On a live cluster add a watermark to
-bound state to the dedup horizon; AvailableNow keeps tests deterministic.
+The streaming twin of ops/dedup.dedup_exact — a stateful
+``groupBy(fingerprint).agg(min(doc_id))`` whose state spans micro-batches,
+so the keeper per fingerprint is EXACTLY the batch min(doc_id) canonical
+regardless of arrival order (within-batch and across batches; a
+first-seen ``dropDuplicates`` would instead keep an arbitrary same-batch
+row). On a live cluster add a watermark to bound state to the dedup
+horizon; AvailableNow keeps tests deterministic.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-
-def _fingerprint(col):
-    return F.md5(
-        F.encode(F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")), "UTF-8")
-    )
+from univer_ocr_spark.ops.dedup import fingerprint_expr
 
 
 def dedup_stream_parquet_dir(
@@ -24,21 +21,23 @@ def dedup_stream_parquet_dir(
     input_dir: str,
     query_name: str = "dedup_stream",
 ) -> None:
-    """Stream docs from ``input_dir`` (one file per micro-batch), emit only
-    the first document seen per fingerprint; blocks until drained."""
+    """Stream docs from ``input_dir`` (one file per micro-batch), maintain
+    the min doc_id per fingerprint across batches; blocks until drained."""
     schema = spark.read.parquet(input_dir).schema
     src = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)  # dedup state must span batches
         .parquet(input_dir)
     )
-    out = src.withColumn("fingerprint", _fingerprint(F.col("text"))).dropDuplicates(
-        ["fingerprint"]
+    out = (
+        src.withColumn("fingerprint", fingerprint_expr(F.col("text")))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
     )
     q = (
         out.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("append")
+        .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )
@@ -46,4 +45,12 @@ def dedup_stream_parquet_dir(
 
 
 def stream_keepers(spark: SparkSession, query_name: str = "dedup_stream") -> DataFrame:
-    return spark.table(query_name).select("doc_id", "fingerprint").orderBy("doc_id")
+    """Final keeper per fingerprint: update mode emits one row per changed
+    key per batch; the min over a key's updates is its converged keeper."""
+    return (
+        spark.table(query_name)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    )
