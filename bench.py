@@ -120,15 +120,23 @@ def main() -> None:
     # second set of workers) on the tiny sf0.001 tables
     extract_docs.extract_pdfish_docs(spark, "/root/testdata/sf0.001").count()
 
-    def bench(name, fn):
+    # this host has noisy-neighbor episodes (load spikes with no local
+    # process); best-of-N per query keeps one polluted sample from being
+    # recorded as the query's cost
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
+
+    def bench(name, fn, n_runs=repeats):
         if ONLY and name not in ONLY:
             return
-        spark.catalog.clearCache()  # query-internal persists must not leak
-        t0 = time.perf_counter()
-        fn()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        log(f"{name}: {dt:.3f}s")
+        best = None
+        for _ in range(max(1, n_runs)):
+            spark.catalog.clearCache()  # query-internal persists must not leak
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        log(f"{name}: {best:.3f}s")
 
     def run_transcripts():
         df = spark.read.parquet(tr_path)
@@ -153,7 +161,7 @@ def main() -> None:
     # reported alongside so the steady-state claim is auditable
     runs: list[float] = []
     for _ in range(3):
-        bench("transcripts_extract", run_transcripts)
+        bench("transcripts_extract", run_transcripts, n_runs=1)
         t = timings.get("transcripts_extract")
         if t is not None:
             runs.append(t)
