@@ -42,9 +42,12 @@ def test_long_doc_multi_column_roundtrip():
 
     words = [f"w{i:03d}" for i in range(180)]
     text = " ".join(words)
-    got, _spans = extract_pdfish(_pdfish_columns_payload(7, text))
+    payload = _pdfish_columns_payload(7, text)
+    got, spans = extract_pdfish(payload)
     assert got.replace("\n", " ") == text
     assert got.count("\n") + 1 == 60  # ceil(180/3) lines
+    # the batch path (what extract_stage actually runs) must agree
+    assert extract_pdfish_many([payload])[0] == (got, spans)
 
 
 def test_four_orientations_two_columns():

@@ -267,9 +267,10 @@ def _pdfish_columns_payload(doc_id: int, text: str) -> str:
 
 
 def extract_pdfish_columns_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-column reading order through the REAL extraction stage: expected
-    flat text = whitespace-normalized doc text (column-major order restores
-    the original word order by construction); n_units = line count."""
+    """Multi-column reading order through the REAL extraction stage:
+    expected flat text = whitespace-normalized doc text (column-major order
+    restores the original word order by construction, for any number of
+    columns); n_units = line count."""
     import pandas as pd
 
     # empty/whitespace-only docs produce a glyph-less page (0 units) while

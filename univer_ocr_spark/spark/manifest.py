@@ -111,6 +111,27 @@ def iceberg_table_name() -> Optional[str]:
     return os.environ.get("UNIVER_ICEBERG_TABLE") or None
 
 
+def _assert_bucket_partitioned(spark: SparkSession, table: str) -> None:
+    """Fail fast unless the Iceberg table is partitioned by ``bucket``:
+    ``overwritePartitions`` on a table with any other spec would treat the
+    WHOLE table as one partition — each bucket commit silently wiping the
+    previous buckets' rows while the manifest records them committed."""
+    try:
+        part_type = spark.table(f"{table}.partitions").schema["partition"].dataType
+        fields = [f.name for f in part_type.fields]
+    except Exception as exc:  # noqa: BLE001 — no partition column = unpartitioned
+        raise ValueError(
+            f"Iceberg table {table} has no readable partition spec — "
+            "create it PARTITIONED BY (bucket) before pointing "
+            "UNIVER_ICEBERG_TABLE at it"
+        ) from exc
+    if "bucket" not in fields:
+        raise ValueError(
+            f"Iceberg table {table} is partitioned by {fields}, not by "
+            "'bucket' — overwritePartitions would clobber other buckets"
+        )
+
+
 def _iceberg_commit(out: DataFrame, table: str) -> str:
     """Commit one bucket to an Iceberg table via the DataFrameWriterV2 API
     and return the resulting snapshot id (read back from the table's
@@ -167,6 +188,8 @@ def run_with_manifest(
                              input_snapshot)
     processed: List[int] = []
     iceberg_table = iceberg_table_name()
+    if iceberg_table:
+        _assert_bucket_partitioned(spark, iceberg_table)
     manifest_lock = threading.Lock()
 
     def process_bucket(b: int) -> None:
@@ -179,12 +202,15 @@ def run_with_manifest(
         obs = Observation(f"bucket_{b}_rows_{int(t0 * 1e6)}")
         out = run_extraction(part).observe(obs, F.count(F.lit(1)).alias("n"))
         if iceberg_table:
-            # Iceberg commits serialize table-side anyway; the lock also
-            # pins the snapshot-id read-back to THIS bucket's commit
+            # materialize the (expensive) extraction OUTSIDE the lock so
+            # concurrent buckets overlap their compute; only the cheap
+            # table commit + snapshot-id read-back serialize (pinning the
+            # read-back to THIS bucket's commit)
+            staged_out = out.withColumn("bucket", F.lit(b)).persist()
+            staged_out.count()
             with manifest_lock:
-                output_snapshot = _iceberg_commit(
-                    out.withColumn("bucket", F.lit(b)), iceberg_table
-                )
+                output_snapshot = _iceberg_commit(staged_out, iceberg_table)
+            staged_out.unpersist()
         else:
             out.write.mode("overwrite").parquet(
                 os.path.join(outdir, f"bucket={b}")

@@ -37,7 +37,7 @@ def dedup_stream_parquet_dir(
     q = (
         out.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("update")
+        .outputMode("complete")  # memory table = the converged keeper set
         .trigger(availableNow=True)
         .start()
     )
@@ -45,12 +45,7 @@ def dedup_stream_parquet_dir(
 
 
 def stream_keepers(spark: SparkSession, query_name: str = "dedup_stream") -> DataFrame:
-    """Final keeper per fingerprint: update mode emits one row per changed
-    key per batch; the min over a key's updates is its converged keeper."""
-    return (
-        spark.table(query_name)
-        .groupBy("fingerprint")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id", "fingerprint")
-        .orderBy("doc_id")
-    )
+    """Complete mode rewrites the memory table each batch with the full
+    aggregation state — the final table IS one (min doc_id, fingerprint)
+    row per key."""
+    return spark.table(query_name).select("doc_id", "fingerprint").orderBy("doc_id")
