@@ -103,6 +103,13 @@ PDFISH_COL_GAP_FACTOR = 4
 
 SESSION_GAP_SECONDS = 1800  # gap that starts a new session (batch + streaming)
 
+# ------------------------------------------------- cross-engine regexes ---
+# Whitespace class spelled out, NEVER \s, wherever a Spark expression and its
+# DuckDB oracle twin must agree byte-for-byte: Java regex \s includes \x0B
+# (vertical tab) while RE2's does not, and Python str.split() additionally
+# splits on Unicode spaces. One explicit class = one semantics on all three.
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+
 
 def turn_seed(conv_id: str, turn_idx: int, global_seed: int = GLOBAL_SEED) -> int:
     """Deterministic per-turn seed, independent of process/hash-seed/partitioning.

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from univer_ocr_spark.constants import WS_CLASS
+
 MINHASH_K = 8  # permutations, as min(md5(k || '|' || shingle))
 LSH_BANDS = 2  # 2 bands x 4 rows
 LSH_ROWS = 4
@@ -28,7 +30,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _norm(col):
-    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    # explicit whitespace class (WS_CLASS, not \s): Java regex and RE2
+    # disagree on \x0B, which would silently break fingerprint parity
+    return F.lower(F.regexp_replace(F.trim(col), WS_CLASS + "+", " "))
 
 
 def fingerprint_expr(col):
@@ -51,12 +55,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_EXACT_SQL = r"""
+DEDUP_EXACT_SQL = f"""
 SELECT doc_id, fingerprint,
        min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
        doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS is_dup
 FROM (SELECT doc_id,
-             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+             md5(lower(regexp_replace(trim(text), '{WS_CLASS}+', ' ', 'g'))) AS fingerprint
       FROM documents)
 ORDER BY doc_id
 """
@@ -80,13 +84,13 @@ def _word_shingles_from_toks(toks):
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
-_SHINGLES_SQL = r"""
+_SHINGLES_SQL = f"""
   SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
             THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
             ELSE [norm] END) AS shingle
   FROM (SELECT doc_id,
-               lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm,
-               regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+               lower(regexp_replace(trim(text), '{WS_CLASS}+', ' ', 'g')) AS norm,
+               regexp_split_to_array(lower(regexp_replace(trim(text), '{WS_CLASS}+', ' ', 'g')), ' ') AS toks
         FROM documents)
 """
 
@@ -249,10 +253,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ultra-frequent shingles make the shared-shingle pair join quadratic
     (sum of f² per shingle) while contributing no dedup signal — the
     standard fix is stop-shingle removal before pairing (document-frequency
-    cutoff), done here as a broadcast anti-join against the (tiny) frequent-
-    shingle list. The DuckDB oracle applies the identical cutoff, so the
-    semantics stay exactly checkable. At 100 TB the same plan holds: the
-    frequent list is small by construction and broadcasts."""
+    cutoff), done here as an anti-join against the frequent-shingle list.
+    The DuckDB oracle applies the identical cutoff, so the semantics stay
+    exactly checkable. NO broadcast hint on the frequent list: at 100 TB the
+    df>64 shingle set is roughly "every common English bigram" (GBs — a
+    forced broadcast OOMs the executors); AQE picks broadcast vs shuffle
+    from the MEASURED size at runtime, which is the right call at every
+    scale."""
     ex_all = _exploded_shingles(spark, sf_dir).persist()  # one explode, 2 uses
     frequent = (
         ex_all.groupBy("shingle")
@@ -260,7 +267,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > MAX_SHINGLE_FREQ)
         .select("shingle")
     )
-    ex = ex_all.join(F.broadcast(frequent), "shingle", "left_anti").persist()
+    ex = ex_all.join(frequent, "shingle", "left_anti").persist()
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     l = ex.alias("l")
     r = ex.alias("r")
@@ -451,107 +458,138 @@ NEARDUP_CLUSTERS_SQL = (
     "FROM reach GROUP BY doc_id ORDER BY doc_id"
 )
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64  # carried as two 32-bit halves (sim_hi, sim_lo): a single
+# 64-bit value would overflow signed BIGINT at bit 63 on both engines
+_HALF = 32
 _HEX = "0123456789abcdef"
 
 
-def _h32_sql_duckdb(col: str) -> str:
-    """First 8 hex chars of md5 as an integer — nibble arithmetic (DuckDB
-    has no hex→int conversion)."""
+def _h32_sql_duckdb(col: str, start: int = 1) -> str:
+    """8 hex chars of md5 starting at ``start`` (1-based) as an integer —
+    nibble arithmetic (DuckDB has no hex→int conversion)."""
     terms = [
-        f"(strpos('{_HEX}', md5({col})[{i}:{i}]) - 1) * {16 ** (8 - i)}"
-        for i in range(1, 9)
+        f"(strpos('{_HEX}', md5({col})[{start + i}:{start + i}]) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
     ]
     return "(" + " + ".join(terms) + ")"
 
 
-def _h32_sql_spark(col: str) -> str:
-    return f"CAST(conv(substring(md5({col}), 1, 8), 16, 10) AS BIGINT)"
+def _h32_sql_spark(col: str, start: int = 1) -> str:
+    return f"CAST(conv(substring(md5({col}), {start}, 8), 16, 10) AS BIGINT)"
 
 
-def _simhash_select(h32: str) -> str:
-    """Bit-vote aggregation: portable FLOOR/% arithmetic on both engines."""
+def _simhash_select(h_lo: str, h_hi: str) -> str:
+    """Bit-vote aggregation for the 64-bit SimHash: one wide map-side-
+    combined aggregate of 64 sums, portable FLOOR/% arithmetic on both
+    engines, recombined into two BIGINT-safe 32-bit halves."""
     sums = ",\n         ".join(
-        f"SUM(CASE WHEN CAST(FLOOR(h32 / {2 ** j}) AS BIGINT) % 2 = 1 "
-        f"THEN 1 ELSE -1 END) AS s_{j}"
-        for j in range(SIMHASH_BITS)
+        f"SUM(CASE WHEN CAST(FLOOR(h_{half} / {2 ** j}) AS BIGINT) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s_{half}_{j}"
+        for half in ("lo", "hi")
+        for j in range(_HALF)
     )
-    recombine = " + ".join(
-        f"(CASE WHEN s_{j} >= 0 THEN {2 ** j} ELSE 0 END)"
-        for j in range(SIMHASH_BITS)
-    )
+
+    def recombine(half: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN s_{half}_{j} >= 0 THEN {2 ** j} ELSE 0 END)"
+            for j in range(_HALF)
+        )
+
     return (
         f"WITH hashed AS (\n"
-        f"  SELECT doc_id, {h32} AS h32 FROM shingled\n"
+        f"  SELECT doc_id, {h_lo} AS h_lo, {h_hi} AS h_hi FROM shingled\n"
         f"),\n"
         f"votes AS (\n"
         f"  SELECT doc_id,\n         {sums}\n  FROM hashed GROUP BY doc_id\n"
         f")\n"
-        f"SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash\n"
+        f"SELECT doc_id, CAST({recombine('hi')} AS BIGINT) AS sim_hi,\n"
+        f"       CAST({recombine('lo')} AS BIGINT) AS sim_lo\n"
         f"FROM votes ORDER BY doc_id"
     )
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per doc over word-2gram shingles: per-bit majority
+    """64-bit SimHash per doc over word-2gram shingles: per-bit majority
     vote of shingle hashes (near-dup docs land at small Hamming distance).
-    One shuffle (groupBy doc_id); the 32 bit-votes are one wide map-side-
-    combined aggregate, not 32 passes."""
+    One shuffle (groupBy doc_id); the 64 bit-votes are one wide map-side-
+    combined aggregate, not 64 passes. 64 bits (vs the r2 32) is what makes
+    the banded join below corpus-scale: band keys draw from 2^16 values,
+    not 2^8."""
     ex = _exploded_shingles(spark, sf_dir)
     ex.createOrReplaceTempView("shingled")
-    return spark.sql(_simhash_select(_h32_sql_spark("shingle")))
+    return spark.sql(
+        _simhash_select(_h32_sql_spark("shingle", 1), _h32_sql_spark("shingle", 9))
+    )
 
 
 def simhash_signatures_sql() -> str:
     return (
         f"WITH shingled AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),\n"
-        + _simhash_select(_h32_sql_duckdb("shingle"))[5:]  # strip 'WITH '
+        + _simhash_select(
+            _h32_sql_duckdb("shingle", 1), _h32_sql_duckdb("shingle", 9)
+        )[5:]  # strip 'WITH '
     )
 
 
-SIMHASH_BANDS = 4  # 4 × 8-bit bands: any pair within Hamming distance 3
-SIMHASH_HAMMING_MAX = 3  # shares at least one untouched band (pigeonhole)
+SIMHASH_BANDS = 4  # 4 × 16-bit bands over the 64-bit signature
+SIMHASH_HAMMING_MAX = 3  # ≤3 flipped bits leave ≥1 of 4 bands untouched
+
+# Engine-portable band keys (FLOOR/% instead of shifts — DuckDB and Spark
+# SQL share the syntax; halves are < 2^32 so the double division is exact).
+_SIMHASH_BAND_EXPRS = (
+    "sim_lo % 65536",
+    "CAST(FLOOR(sim_lo / 65536) AS BIGINT)",
+    "sim_hi % 65536",
+    "CAST(FLOOR(sim_hi / 65536) AS BIGINT)",
+)
 
 
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ 3.
 
-    Scale shape: candidates come from an 8-bit band-key equi-join (a pair
-    differing in ≤3 of 32 bits MUST agree on one of the 4 bands — exact
+    Scale shape: candidates come from a 16-bit band-key equi-join (a pair
+    differing in ≤3 of 64 bits MUST agree on one of the 4 bands — exact
     recall by pigeonhole, never all-pairs); the popcount verify runs only
     on candidates. The banded-Hamming trick is the standard large-scale
-    simhash dedup plan (Manku et al., WWW'07 — public literature).
-    """
+    simhash dedup plan (Manku et al., WWW'07 — public literature). Band
+    keys draw from 2^16 values per band (the r2 8-bit keys capped at 256
+    buckets ⇒ ~n²/256 candidate pairs at corpus scale); for corpora where
+    n/2^16 per-bucket is still too hot, widen the signature to 96/128 bits
+    (three/four halves) and keep bands at signature_bits/4 — the same
+    arithmetic extends."""
     sigs = simhash_signatures(spark, sf_dir)
     band_structs = [
-        F.struct(
-            F.lit(j).alias("band"),
-            F.expr(f"(shiftright(simhash, {8 * j}) & 255)").alias("bv"),
-        )
-        for j in range(SIMHASH_BANDS)
+        F.struct(F.lit(j).alias("band"), F.expr(expr).alias("bv"))
+        for j, expr in enumerate(_SIMHASH_BAND_EXPRS)
     ]
     banded = (
         sigs.select(
-            "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
+            "doc_id", "sim_hi", "sim_lo",
+            F.explode(F.array(*band_structs)).alias("bk"),
         )
-        .select("doc_id", "simhash", "bk.band", "bk.bv")
+        .select("doc_id", "sim_hi", "sim_lo", "bk.band", "bk.bv")
         .persist()
     )
     a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"),
-        "band", "bv",
+        F.col("doc_id").alias("doc_a"), F.col("sim_hi").alias("ha_hi"),
+        F.col("sim_lo").alias("ha_lo"), "band", "bv",
     )
     b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"),
-        "band", "bv",
+        F.col("doc_id").alias("doc_b"), F.col("sim_hi").alias("hb_hi"),
+        F.col("sim_lo").alias("hb_lo"), "band", "bv",
     )
     return (
         a.join(b, ["band", "bv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ha", "hb")
+        .select("doc_a", "doc_b", "ha_hi", "ha_lo", "hb_hi", "hb_lo")
         .distinct()
         .withColumn(
-            "hamming", F.expr("CAST(bit_count(ha ^ hb) AS BIGINT)")
+            "hamming",
+            F.expr(
+                "CAST(bit_count(ha_hi ^ hb_hi) + bit_count(ha_lo ^ hb_lo)"
+                " AS BIGINT)"
+            ),
         )
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
@@ -561,21 +599,24 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_neardup_pairs_sql() -> str:
     bands = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {j} AS band,"
-        f" (simhash >> {8 * j}) & 255 AS bv FROM sh"
-        for j in range(SIMHASH_BANDS)
+        f"SELECT doc_id, sim_hi, sim_lo, {j} AS band, {expr} AS bv FROM sh"
+        for j, expr in enumerate(_SIMHASH_BAND_EXPRS)
     )
-    inner = _simhash_select(_h32_sql_duckdb("shingle")).replace(
-        "ORDER BY doc_id", ""
-    )  # the full simhash query (own nested WITH) becomes the sh CTE body
+    inner = _simhash_select(
+        _h32_sql_duckdb("shingle", 1), _h32_sql_duckdb("shingle", 9)
+    ).replace("ORDER BY doc_id", "")
+    # the full simhash query (own nested WITH) becomes the sh CTE body
+    ham = (
+        "bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo))"
+    )
     return (
         f"WITH shingled AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),\n"
         f"sh AS ({inner}),\n"
         f"banded AS ({bands})\n"
         "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
-        "       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming\n"
+        f"       CAST({ham} AS BIGINT) AS hamming\n"
         "FROM banded a JOIN banded b\n"
         "  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id\n"
-        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}\n"
+        f"WHERE {ham} <= {SIMHASH_HAMMING_MAX}\n"
         "ORDER BY doc_a, doc_b"
     )

@@ -13,13 +13,23 @@ extraction stage against an independent expectation.
 
 from __future__ import annotations
 
+import re
 from random import Random
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from univer_ocr_spark.constants import BLANK, ESC, SIMILAR_PAIRS
+from univer_ocr_spark.constants import BLANK, ESC, SIMILAR_PAIRS, WS_CLASS
 from univer_ocr_spark.spark.pipeline import extract_stage
+
+# Tokenization for by-construction payloads: the SAME explicit whitespace
+# class as the DuckDB oracles (str.split() would additionally split on \x0B
+# and Unicode spaces, silently diverging from the oracle's RE2 class).
+_WS_RE = re.compile(WS_CLASS + "+")
+
+
+def _ws_tokens(text: str) -> list[str]:
+    return [w for w in _WS_RE.split(text) if w]
 
 _SANITIZE_SQL = "replace(replace(replace(text, '&', '+'), '<', '('), '>', ')')"
 
@@ -187,7 +197,7 @@ def _pdfish_payload(doc_id: int, text: str) -> str:
     band AND above the page middle — a lone line below the middle is
     indistinguishable from a 180°-flipped page by the mass-center vote),
     records shuffled deterministically by doc_id — the extractor re-sorts."""
-    words = text.split()
+    words = _ws_tokens(text)
     recs = []
     x = 40
     for wi, w in enumerate(words):
@@ -227,8 +237,8 @@ def extract_pdfish_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EXTRACT_PDFISH_DOCS_SQL = r"""
-SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS extracted_text
+EXTRACT_PDFISH_DOCS_SQL = f"""
+SELECT doc_id, trim(regexp_replace(text, '{WS_CLASS}+', ' ', 'g')) AS extracted_text
 FROM documents ORDER BY doc_id
 """
 
@@ -245,7 +255,7 @@ def _pdfish_columns_payload(doc_id: int, text: str) -> str:
     doc_id. Column-unaware extraction would interleave the columns' shared
     y-bands and garble the word order; correct column-major reading order
     reproduces the text for ANY document length."""
-    words = text.split()
+    words = _ws_tokens(text)
     lines = [words[i : i + 3] for i in range(0, len(words), 3)]
     recs = []
     x0 = 40
@@ -303,11 +313,11 @@ def extract_pdfish_columns_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-EXTRACT_PDFISH_COLUMNS_SQL = r"""
+EXTRACT_PDFISH_COLUMNS_SQL = f"""
 SELECT doc_id,
-       regexp_replace(trim(text), '\s+', ' ', 'g') AS extracted_flat,
+       trim(regexp_replace(text, '{WS_CLASS}+', ' ', 'g')) AS extracted_flat,
        CAST(ceil(len(regexp_split_to_array(
-            regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) / 3.0) AS BIGINT)
+            trim(regexp_replace(text, '{WS_CLASS}+', ' ', 'g')), ' ')) / 3.0) AS BIGINT)
          AS n_units
 FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id
 """

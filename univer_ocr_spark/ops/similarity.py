@@ -208,6 +208,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prb") <= IVF_N_PROBE)
         .select("query_id", "q_emb", "q_norm", "label")
     )
+    # final rank rounds to 6dp BEFORE ordering (same convention as the probe
+    # stage): an unrounded near-tie between candidates could flip rank
+    # between Spark's left-fold and DuckDB's list_dot_product
     c = e.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
@@ -218,7 +221,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
         c.join(F.broadcast(probes), "label")
-        .withColumn("cos", _dot("q_emb", "c_emb") / F.col("q_norm") / F.col("cd_norm"))
+        .withColumn(
+            "cos",
+            F.round(_dot("q_emb", "c_emb") / F.col("q_norm") / F.col("cd_norm"), 6),
+        )
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= IVF_TOP_K)
         .select(
@@ -256,7 +262,7 @@ c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS c_emb, label,
       FROM embeddings WHERE vec_id >= {N_QUERIES}),
 scored AS (
   SELECT p.query_id, c.cand_id, c.label AS probed_label,
-         list_dot_product(p.q_emb, c.c_emb) / p.q_norm / c.cd_norm AS cos
+         round(list_dot_product(p.q_emb, c.c_emb) / p.q_norm / c.cd_norm, 6) AS cos
   FROM c JOIN probes p ON c.label = p.label),
 ranked AS (
   SELECT query_id, cand_id, probed_label, cos,
@@ -284,17 +290,27 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin's perturbed dim is outside the 8 bucket dims, so a planted pair
     always shares its bucket); exact cosine is computed only within
     buckets — never all-pairs.
+
+    The planted-twin id offset and the perturbed dimension are DERIVED from
+    the dataset (max vec_id + 1; len(embedding)) on both engines, not
+    hard-coded — at a scale factor with more vectors or a different
+    embedding dim, hard-coded constants would collide planted ids with real
+    ones / perturb the wrong dim identically on both engines, keeping
+    parity green while the planted-pair semantics silently broke.
     """
     e = _emb(spark, sf_dir)
+    mx, dim = e.agg(F.max("vec_id"), F.max(F.size("embedding"))).first()
+    offset = int(mx) + 1  # > every real vec_id by construction
+    dim = int(dim)
     base = e.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )
     dups = base.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
+        (F.col("vec_id") + offset).alias("vec_id"),
         F.concat(
-            F.slice("v", 1, 63),
-            F.array(F.element_at("v", 64) + F.lit(NEARDUP_EPS)),
+            F.slice("v", 1, dim - 1),
+            F.array(F.element_at("v", dim) + F.lit(NEARDUP_EPS)),
         ).alias("v"),
     )
     alls = base.union(dups).withColumn(
@@ -320,9 +336,12 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBEDDING_NEARDUP_SQL = f"""
-WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-dups AS (SELECT vec_id + 10000 AS vec_id,
-                list_concat(v[1:63], [v[64] + {NEARDUP_EPS}]) AS v
+WITH dims AS (SELECT max(vec_id) + 1 AS off, max(len(embedding)) AS d
+              FROM embeddings),
+base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dups AS (SELECT vec_id + (SELECT off FROM dims) AS vec_id,
+                list_concat(v[1:(SELECT d FROM dims) - 1],
+                            [v[(SELECT d FROM dims)] + {NEARDUP_EPS}]) AS v
          FROM base WHERE vec_id % 5 = 0),
 alls AS (SELECT vec_id, v, {_sign_bucket_sql('v')} AS bucket,
                 sqrt(list_dot_product(v, v)) AS norm

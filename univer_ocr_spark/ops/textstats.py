@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from univer_ocr_spark.constants import WS_CLASS
+
 STOPWORDS = {
     "en": ("the", "and", "of", "to", "in", "is", "a", "for"),
     "es": ("de", "la", "el", "en", "y", "que", "los", "por"),
@@ -26,7 +28,8 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tokens(col):
-    return F.split(F.trim(col), r"\s+")
+    # WS_CLASS, not \s — Java regex vs RE2 disagree on \x0B (see constants)
+    return F.split(F.trim(col), WS_CLASS + "+")
 
 
 # BPE-ish pre-tokenizer regex (GPT-2-style run classes: letter runs, digit
@@ -49,7 +52,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.regexp_extract_all("text", F.lit(_BPEISH_RE), F.lit(0))
         ).cast("long").alias("n_bpeish_tokens"),
-        F.length(F.regexp_replace("text", r"\s+", "")).cast("long").alias("n_nonspace_chars"),
+        F.length(F.regexp_replace("text", WS_CLASS + "+", "")).cast("long").alias("n_nonspace_chars"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
     ).orderBy("doc_id")
 
@@ -58,10 +61,10 @@ DOC_TOKEN_STATS_SQL = rf"""
 SELECT doc_id,
        length(text) AS len_chars,
        CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+            ELSE len(regexp_split_to_array(trim(text), '{WS_CLASS}+')) END AS n_tokens,
        len(regexp_extract_all(text, '{_BPEISH_RE}')) AS n_bpeish_tokens,
-       length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace_chars,
-       len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct_tokens
+       length(regexp_replace(text, '{WS_CLASS}+', '', 'g')) AS n_nonspace_chars,
+       len(list_distinct(regexp_split_to_array(trim(text), '{WS_CLASS}+'))) AS n_distinct_tokens
 FROM documents ORDER BY doc_id
 """
 
@@ -99,7 +102,7 @@ FROM hits ORDER BY doc_id
 
 def doc_lang_oracle_sql() -> str:
     hit_cols = ",\n         ".join(
-        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+        f"len(list_filter(regexp_split_to_array(trim(lower(text)), '{WS_CLASS}+'), "
         f"x -> x IN {words!r})) AS hits_{lang}"
         for lang, words in STOPWORDS.items()
     )
@@ -134,14 +137,14 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-DOC_QUALITY_SQL = r"""
+DOC_QUALITY_SQL = f"""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+            ELSE len(regexp_split_to_array(trim(text), '{WS_CLASS}+')) END AS n_tokens,
        length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
        length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
        round(least(1.0, (CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END) / 20.0)
+                  ELSE len(regexp_split_to_array(trim(text), '{WS_CLASS}+')) END) / 20.0)
              * (1.0 - length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
                       / greatest(length(text), 1)), 4) AS quality
 FROM documents ORDER BY doc_id
@@ -152,14 +155,14 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content fingerprint: md5 of whitespace-normalized,
     lowercased text (portable across engines — both emit lowercase hex)."""
     d = _docs(spark, sf_dir)
-    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    norm = F.lower(F.regexp_replace(F.trim("text"), WS_CLASS + "+", " "))
     return d.select(
         "doc_id", F.md5(F.encode(norm, "UTF-8")).alias("fingerprint")
     ).orderBy("doc_id")
 
 
-DOC_FINGERPRINT_SQL = r"""
-SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '{WS_CLASS}+', ' ', 'g'))) AS fingerprint
 FROM documents ORDER BY doc_id
 """
 
@@ -171,7 +174,7 @@ def doc_ngram_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = _docs(spark, sf_dir)
-    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    norm = F.lower(F.regexp_replace(F.trim("text"), WS_CLASS + "+", " "))
     d2 = d.select("doc_id", "lang", norm.alias("norm"))
     d2 = d2.filter(F.length("norm") >= 3).select(
         "lang",
@@ -188,11 +191,11 @@ def doc_ngram_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DOC_NGRAM_MODE_SQL = r"""
+DOC_NGRAM_MODE_SQL = f"""
 WITH grams AS (
   SELECT lang, unnest(list_transform(range(1, length(norm) - 1),
                                      i -> norm[i:i+2])) AS gram
-  FROM (SELECT lang, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+  FROM (SELECT lang, lower(regexp_replace(trim(text), '{WS_CLASS}+', ' ', 'g')) AS norm
         FROM documents)
   WHERE length(norm) >= 3
 ),
@@ -270,7 +273,7 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_quality_filter_sql() -> str:
     hit_cols = ", ".join(
-        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+        f"len(list_filter(regexp_split_to_array(trim(lower(text)), '{WS_CLASS}+'), "
         f"x -> x IN {words!r}))"
         for words in STOPWORDS.values()
     )
@@ -278,9 +281,9 @@ def doc_quality_filter_sql() -> str:
 WITH scored AS (
   SELECT doc_id,
          doc_id <> min(doc_id) OVER (PARTITION BY
-             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS is_dup,
+             md5(lower(regexp_replace(trim(text), '{WS_CLASS}+', ' ', 'g')))) AS is_dup,
          CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+              ELSE len(regexp_split_to_array(trim(text), '{WS_CLASS}+')) END AS n_tokens,
          greatest({hit_cols}) AS best_hits
   FROM documents)
 SELECT doc_id,

@@ -132,7 +132,7 @@ def _assert_bucket_partitioned(spark: SparkSession, table: str) -> None:
         )
 
 
-def _iceberg_commit(out: DataFrame, table: str) -> str:
+def _iceberg_commit(out: DataFrame, table: str, bucket: int, n_rows: int) -> str:
     """Commit one bucket to an Iceberg table via the DataFrameWriterV2 API
     and return the resulting snapshot id (read back from the table's
     snapshots metadata — the lineage the manifest row must cite).
@@ -140,12 +140,20 @@ def _iceberg_commit(out: DataFrame, table: str) -> str:
     ``overwritePartitions`` (not ``append``) keeps the resume contract
     idempotent: the table is partitioned by ``bucket``, so re-running a
     bucket whose output landed but whose manifest row didn't replaces that
-    partition instead of duplicating rows. Callers must serialize calls
-    (run_with_manifest holds its lock here) so the snapshot-id read-back
-    cannot observe another bucket's commit.
+    partition instead of duplicating rows. EMPTY re-run output is the one
+    case ``overwritePartitions`` cannot express — it touches no partitions,
+    so stale rows from a superseded commit would survive while the manifest
+    records the bucket committed; the parquet path's ``mode('overwrite')``
+    clears the directory, so the Iceberg twin issues an explicit
+    ``DELETE FROM ... WHERE bucket = b`` instead. Callers must serialize
+    calls (run_with_manifest holds its lock here) so the snapshot-id
+    read-back cannot observe another bucket's commit.
     """
     spark = out.sparkSession
-    out.writeTo(table).overwritePartitions()
+    if n_rows == 0:
+        spark.sql(f"DELETE FROM {table} WHERE bucket = {int(bucket)}")
+    else:
+        out.writeTo(table).overwritePartitions()
     snap = spark.sql(
         f"SELECT snapshot_id FROM {table}.snapshots "
         "ORDER BY committed_at DESC LIMIT 1"
@@ -207,9 +215,11 @@ def run_with_manifest(
             # table commit + snapshot-id read-back serialize (pinning the
             # read-back to THIS bucket's commit)
             staged_out = out.withColumn("bucket", F.lit(b)).persist()
-            staged_out.count()
+            staged_cnt = staged_out.count()
             with manifest_lock:
-                output_snapshot = _iceberg_commit(staged_out, iceberg_table)
+                output_snapshot = _iceberg_commit(
+                    staged_out, iceberg_table, b, staged_cnt
+                )
             staged_out.unpersist()
         else:
             out.write.mode("overwrite").parquet(
