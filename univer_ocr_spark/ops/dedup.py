@@ -373,22 +373,25 @@ LSH_VERIFIED_PAIRS_SQL = (
 
 
 def _min_label_cc(nodes: DataFrame, edges: DataFrame,
-                  max_rounds: int | None = None) -> DataFrame:
-    """Connected components by iterative min-label propagation.
+                  max_rounds: int | None = None) -> tuple[DataFrame, int]:
+    """Connected components by min-label propagation with pointer jumping.
 
     ``nodes``: (doc_id); ``edges``: (src, dst), must be symmetric. Each
-    round is one shuffle (join + min-agg); the loop runs TO THE FIXPOINT
-    (no label changes) by default — matching the oracle's unbounded
-    recursive flood — and terminates because labels only decrease
-    (propagation needs diameter-many rounds; the reference analog is the
-    region labeling A1, ref: interpreter.py:16-21). ``max_rounds`` exists
-    only for tests/debugging; the fixpoint is unique, so the result is
-    independent of iteration order.
+    round is (1) HOOK — label ← min(label, neighbors' labels), one
+    join + min-agg shuffle, and (2) JUMP — label ← label(label), one
+    self-join (Shiloach-Vishkin-style path compression). The jump doubles
+    how far a label has travelled, so a diameter-d chain converges in
+    O(log d) rounds instead of d (the r2 plain propagation was
+    diameter-bounded — chain-shaped near-dup clusters from templated spam
+    made that the scale risk). Labels only decrease and label(x) is always
+    a node of x's component, so the loop reaches the SAME unique fixpoint
+    (component min) as the oracle's recursive flood; ``max_rounds`` exists
+    only for tests/debugging. Returns ``(labels, rounds_to_fixpoint)``.
+    The reference analog is the region labeling A1 (ref: interpreter.py:16-21).
     """
     # localCheckpoint (not persist): iterative self-joins grow the logical
-    # plan by two joins per round — without lineage truncation the analyzed
-    # plan explodes the driver heap after ~10 rounds. Checkpointing each
-    # round keeps every plan one-round deep.
+    # plan by three joins per round — without lineage truncation the
+    # analyzed plan explodes the driver heap after ~10 rounds.
     labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
     edges = edges.localCheckpoint()
     rounds = 0
@@ -399,12 +402,23 @@ def _min_label_cc(nodes: DataFrame, edges: DataFrame,
             .groupBy(edges["dst"].alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        hooked = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump: follow the label one more hop (label of my label);
+        # parent labels are always <= mine, so this only ever decreases
+        parent = hooked.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("p_label")
+        )
         new_labels = (
-            labels.join(nbr, "doc_id", "left")
+            hooked.join(parent, "label", "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    F.col("label"), F.coalesce("p_label", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
@@ -418,7 +432,7 @@ def _min_label_cc(nodes: DataFrame, edges: DataFrame,
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    return labels, rounds
 
 
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -432,13 +446,23 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).union(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
+    # seed the iteration with edge-touched docs ONLY: singletons (the large
+    # majority of a real corpus) never change label, so shuffling them every
+    # round is pure waste — they join back once at the end
+    touched = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels, _rounds = _min_label_cc(touched, edges)
     nodes = _docs(spark, sf_dir).select("doc_id")
-    labels = _min_label_cc(nodes, edges)
-    return labels.select(
-        "doc_id",
-        F.col("label").alias("cluster_id"),
-        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
-    ).orderBy("doc_id")
+    return (
+        nodes.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn(
+            "is_canonical", F.col("doc_id") == F.col("cluster_id")
+        )
+        .orderBy("doc_id")
+    )
 
 
 # Oracle-side connected components: seed every doc with its own id, flood
