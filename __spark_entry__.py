@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_ivf_scaled_topk": similarity.ann_ivf_scaled_topk,
         "embedding_cosine_neardup": similarity.embedding_cosine_neardup,
         "embedding_label_centroids": similarity.embedding_label_centroids,
         # multimodal binary-column plumbing
@@ -237,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce_topk": similarity.ANN_BRUTEFORCE_SQL,
         "ann_lsh_topk": similarity.ann_lsh_sql(),
         "ann_ivf_topk": similarity.ANN_IVF_SQL,
+        "ann_ivf_scaled_topk": similarity.ann_ivf_scaled_sql(),
         "embedding_cosine_neardup": similarity.EMBEDDING_NEARDUP_SQL,
         "embedding_label_centroids": similarity.CENTROIDS_SQL,
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,

@@ -361,6 +361,137 @@ ORDER BY query_id, rank
 """
 
 
+def _ivf_cell_bits(n: int) -> int:
+    """Coarse-quantizer width for ~sqrt(n) cells (the standard IVF sizing:
+    probe cost ~ cells + n/cells is minimized at sqrt(n)). Integer
+    arithmetic — ceil(ceil(log2(n)) / 2) — so both engines' twins agree
+    exactly at any corpus size."""
+    lg = (max(n, 2) - 1).bit_length()  # ceil(log2(n))
+    return max(1, (lg + 1) // 2)
+
+
+def ann_ivf_scaled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the cell count derived from the corpus size (~sqrt(n)
+    cells) instead of the fixed label set: the coarse quantizer is the sign
+    pattern of the first ceil(log2(sqrt(n))) dimensions — deterministic on
+    both engines, so the whole index stays oracle-checkable. The
+    label-derived ann_ivf_topk remains as the fixed-cells twin.
+
+    Scale shape (same as ann_ivf_topk): the centroid table is sqrt(n) rows
+    and broadcasts; each query probes IVF_N_PROBE cells; exact cosine
+    touches only probed cells' members — per-query work is
+    O(sqrt(n) + n_probe * n / cells) instead of O(n)."""
+    e = _emb(spark, sf_dir)
+    bits = _ivf_cell_bits(e.count())
+    v = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        _sign_band_key("embedding", 0, bits).alias("cell"),
+    )
+    cent_pos = (
+        v.select("cell", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("cv"))
+    )
+    cent = (
+        cent_pos.groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("c_arr")
+        )
+        .withColumn("c_norm", F.sqrt(_dot("c_arr", "c_arr")))
+        .persist()
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q_emb")
+    ).withColumn("q_norm", F.sqrt(_dot("q_emb", "q_emb"))).persist()
+    w_probe = W.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "c_cos",
+            F.round(_dot("q_emb", "c_arr") / F.col("q_norm") / F.col("c_norm"), 6),
+        )
+        .withColumn("prb", F.row_number().over(w_probe))
+        .filter(F.col("prb") <= IVF_N_PROBE)
+        .select("query_id", "q_emb", "q_norm", "cell")
+    )
+    c = v.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("c_emb"), "cell"
+    ).withColumn("cd_norm", F.sqrt(_dot("c_emb", "c_emb"))).persist()
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        c.join(F.broadcast(probes), "cell")
+        .withColumn(
+            "cos",
+            F.round(_dot("q_emb", "c_emb") / F.col("q_norm") / F.col("cd_norm"), 6),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= IVF_TOP_K)
+        .select(
+            "query_id", "cand_id", F.col("cell").alias("probed_cell"),
+            "rank", F.round("cos", 4).alias("cosine"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_ivf_scaled_sql(n_vecs: int | None = None) -> str:
+    """DuckDB twin: same _ivf_cell_bits(count) the Spark side measures,
+    derived from the driver's fixed compare tables (sf0.01) via parquet
+    metadata — see ann_lsh_sql for the convention."""
+    if n_vecs is None:
+        import pyarrow.parquet as pq
+
+        n_vecs = pq.ParquetFile(
+            "/root/testdata/sf0.01/embeddings.parquet"
+        ).metadata.num_rows
+    bits = _ivf_cell_bits(n_vecs)
+    cell = _sign_band_key_sql("v", 0, bits)
+    return f"""
+WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cells AS (SELECT vec_id, v, {cell} AS cell FROM vv),
+cent_pos AS (
+  SELECT cell, i - 1 AS pos, round(avg(v[i]), 6) AS cv
+  FROM cells CROSS JOIN range(1, 513) t(i)
+  WHERE i <= len(v)
+  GROUP BY cell, i),
+cent AS (
+  SELECT cell, list(cv ORDER BY pos) AS c_arr,
+         sqrt(list_dot_product(list(cv ORDER BY pos), list(cv ORDER BY pos))) AS c_norm
+  FROM cent_pos GROUP BY cell),
+q AS (SELECT vec_id AS query_id, v AS q_emb,
+             sqrt(list_dot_product(v, v)) AS q_norm
+      FROM cells WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, q_emb, q_norm, cell FROM (
+    SELECT q.query_id, q.q_emb, q.q_norm, cent.cell,
+           row_number() OVER (PARTITION BY q.query_id
+              ORDER BY round(list_dot_product(q.q_emb, cent.c_arr) / q.q_norm / cent.c_norm, 6) DESC,
+                       cent.cell ASC) AS prb
+    FROM q CROSS JOIN cent) t
+  WHERE prb <= {IVF_N_PROBE}),
+c AS (SELECT vec_id AS cand_id, v AS c_emb, cell,
+             sqrt(list_dot_product(v, v)) AS cd_norm
+      FROM cells WHERE vec_id >= {N_QUERIES}),
+scored AS (
+  SELECT p.query_id, c.cand_id, c.cell AS probed_cell,
+         round(list_dot_product(p.q_emb, c.c_emb) / p.q_norm / c.cd_norm, 6) AS cos
+  FROM c JOIN probes p ON c.cell = p.cell),
+ranked AS (
+  SELECT query_id, cand_id, probed_cell, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, cand_id ASC) AS rank
+  FROM scored)
+SELECT query_id, cand_id, probed_cell, CAST(rank AS BIGINT) AS rank,
+       round(cos, 4) AS cosine
+FROM ranked WHERE rank <= {IVF_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 NEARDUP_COS_THRESHOLD = 0.9
 NEARDUP_EPS = 0.1  # planted-twin perturbation on the last dimension
 
