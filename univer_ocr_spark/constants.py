@@ -67,6 +67,32 @@ HTML_ENTITIES = {
     "&quot;": '"',
     "&apos;": "'",
 }
+
+
+def decode_entity(ref: str) -> str | None:
+    """Decode one entity reference (named or numeric) to its character, or
+    None when ``ref`` is not decodable — an undecodable ref stays verbatim
+    in the extracted text, it is never an error (10^12-row tolerance).
+
+    Numeric character references — ``&#233;`` / ``&#x2019;``, ubiquitous in
+    real HTML — decode via the code point; surrogates and out-of-range
+    code points are rejected (kept verbatim) like a browser's parse-error
+    path, minus the U+FFFD replacement, so every decoded span is exactly
+    one real character.
+    """
+    named = HTML_ENTITIES.get(ref)
+    if named is not None:
+        return named
+    if not (ref.startswith("&#") and ref.endswith(";")):
+        return None
+    body = ref[2:-1]
+    try:
+        cp = int(body[1:], 16) if body[:1] in ("x", "X") else int(body)
+    except ValueError:
+        return None
+    if 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF:
+        return None
+    return chr(cp)
 # Tags whose entire subtree is boilerplate by construction (analog of the
 # reference's letter-spacing veto P4 / background pixels).
 HTML_DROP_TAGS = frozenset(

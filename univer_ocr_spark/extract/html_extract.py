@@ -13,11 +13,14 @@ dialect: no entities, no ``<``/``>`` inside attribute values or raw-text
 elements.
 
 Entity handling with span integrity: the five standard entity references
-(``&amp; &lt; &gt; &quot; &apos;``) decode to their characters, and each
-entity gets its OWN span over the raw reference — so every span slice is
-either verbatim or exactly one entity ref, and the reconstruction invariant
-stays auditable at 10^12 rows (``spans.reconstruct(...,
-decode_html_entities=True)``). Non-entity ampersands stay verbatim.
+(``&amp; &lt; &gt; &quot; &apos;``) AND numeric character references
+(``&#233;`` / ``&#x2019;`` — decimal and hex) decode to their characters,
+and each entity gets its OWN span over the raw reference — so every span
+slice is either verbatim or exactly one entity ref decoding to one char,
+and the reconstruction invariant stays auditable at 10^12 rows
+(``spans.reconstruct(..., decode_html_entities=True)``). Non-entity
+ampersands and UNdecodable refs (surrogate / out-of-range code points)
+stay verbatim.
 Attribute values containing ``>`` mis-split the tag regex for that one tag;
 the failure mode is a garbled text node on that row, never a task failure.
 """
@@ -30,15 +33,15 @@ from typing import List, Tuple
 from univer_ocr_spark.constants import (
     HTML_BLOCK_TAGS,
     HTML_DROP_TAGS,
-    HTML_ENTITIES,
     HTML_LINK_DENSITY_DEN,
     HTML_LINK_DENSITY_NUM,
+    decode_entity,
 )
 from univer_ocr_spark.spans import Span
 
 _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>]*>")
 _VOID_TAGS = frozenset({"br", "hr", "img", "meta", "link", "input"})
-_ENT_RE = re.compile(r"&(?:amp|lt|gt|quot|apos);")
+_ENT_RE = re.compile(r"&(?:amp|lt|gt|quot|apos|#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6});")
 
 # Extractor-side block record: (tag, nodes) with nodes = [(start, end, in_link)]
 ExtractorBlock = Tuple[str, bool, List[Tuple[int, int, bool]]]
@@ -122,14 +125,18 @@ def extract_html(payload: str) -> Tuple[str, List[Span]]:
                 parts.append(seg)
                 continue
             # split at entity refs: literal runs stay verbatim slices,
-            # each entity becomes its own span decoding to one char
+            # each DECODABLE entity becomes its own span decoding to one
+            # char; an undecodable ref stays inside the literal run
             pos = 0
             for m in _ENT_RE.finditer(seg):
+                dec = decode_entity(m.group(0))
+                if dec is None:
+                    continue
                 if m.start() > pos:
                     spans.append((unit, s + pos, s + m.start()))
                     parts.append(seg[pos:m.start()])
                 spans.append((unit, s + m.start(), s + m.end()))
-                parts.append(HTML_ENTITIES[m.group(0)])
+                parts.append(dec)
                 pos = m.end()
             if pos < len(seg):
                 spans.append((unit, s + pos, e))

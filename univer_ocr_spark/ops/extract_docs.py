@@ -112,13 +112,18 @@ def extract_html_entities_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity roundtrip through the REAL extraction stage: specials are
     injected deterministically (a e o u i → & < > " ' — shipped doc text has
     none), then entity-ENCODED into the payload (& first so no accidental
-    refs form); extraction must DECODE the content back verbatim.
+    refs form), and every 't'/'r' is encoded as its own NUMERIC character
+    reference (&#116; decimal / &#x72; hex — the r2-missing ubiquitous-HTML
+    case); extraction must DECODE the content back verbatim. Placeholders
+    route the numeric encoding AFTER the named one so neither pass rewrites
+    the other's output ('&lt;' contains a 't'; '&#116;' contains an '&').
     Expected = the injected text, stated by the oracle by construction."""
     d = _docs(spark, sf_dir)
     content = F.translate(F.col("text"), "aeoui", "&<>\"'")
-    enc = content
+    enc = F.translate(content, "tr", "\x01\x02")
     for ch, ref in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
-                    ('"', "&quot;"), ("'", "&apos;")):
+                    ('"', "&quot;"), ("'", "&apos;"),
+                    ("\x01", "&#116;"), ("\x02", "&#x72;")):
         enc = F.replace(enc, F.lit(ch), F.lit(ref))
     payload = F.concat(
         F.lit('<html><body><nav><a href="/">home</a></nav><p>'),
@@ -136,19 +141,20 @@ def extract_html_entities_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# expected span count by construction: one span per entity ref plus one per
-# maximal NON-EMPTY literal run between/around them. Computed identically
-# from the injected content here.
+# expected span count by construction: one span per entity ref (named AND
+# numeric — every [&<>"'] from the translate plus every t/r encoded as a
+# numeric char ref) plus one per maximal NON-EMPTY literal run
+# between/around them. Computed identically from the injected content here.
 EXTRACT_HTML_ENTITIES_SQL = r"""
 WITH enc AS (
   SELECT doc_id, translate(text, 'aeoui', '&<>"''') AS content
   FROM documents WHERE length(trim(text)) > 0),
 counted AS (
   SELECT doc_id, content,
-         length(content) - length(regexp_replace(content, '[&<>"'']', '', 'g'))
+         length(content) - length(regexp_replace(content, '[&<>"''tr]', '', 'g'))
            AS n_ents,
          len(list_filter(
-             regexp_split_to_array(regexp_replace(content, '[&<>"'']', chr(1), 'g'), chr(1)),
+             regexp_split_to_array(regexp_replace(content, '[&<>"''tr]', chr(1), 'g'), chr(1)),
              p -> p <> '')) AS n_runs
   FROM enc)
 SELECT doc_id, content AS extracted_text,

@@ -33,11 +33,12 @@ def reconstruct(payload: str, spans: Sequence[Span],
 
     ``decode_html_entities=True`` applies the HTML archetype's span
     convention: the extractor emits each entity reference as its own span,
-    so a span slice that IS one of the five standard entity refs decodes to
-    its character. Other archetypes keep every slice verbatim (a markup
-    content line may legitimately contain a literal '&amp;').
+    so a span slice that IS a decodable entity ref (one of the five named
+    refs, or a numeric ``&#NNN;``/``&#xHH;`` char reference) decodes to its
+    character. Other archetypes keep every slice verbatim (a markup content
+    line may legitimately contain a literal '&amp;').
     """
-    from univer_ocr_spark.constants import HTML_ENTITIES
+    from univer_ocr_spark.constants import decode_entity
 
     units: List[List[str]] = []
     for unit, start, end in spans:
@@ -45,7 +46,9 @@ def reconstruct(payload: str, spans: Sequence[Span],
             units.append([])
         piece = payload[start:end]
         if decode_html_entities:
-            piece = HTML_ENTITIES.get(piece, piece)
+            dec = decode_entity(piece)
+            if dec is not None:
+                piece = dec
         units[unit].append(piece)
     return "\n".join("".join(parts) for parts in units)
 
