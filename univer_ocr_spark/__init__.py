@@ -14,6 +14,6 @@ inside Arrow-batched ``mapInPandas`` stages; cross-turn structure
 (partitioning, salting, ordering, checkpoint/resume) is DataFrame-level.
 """
 
-EXTRACTION_VERSION = "1.0.0"
+EXTRACTION_VERSION = "1.1.0"  # r3: spanning-block column splitting + numeric char refs
 
 __all__ = ["EXTRACTION_VERSION"]

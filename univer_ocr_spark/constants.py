@@ -125,6 +125,14 @@ PDFISH_SPACE_DEN = 2
 # COL_GAP_FACTOR × the page's max glyph reading-extent. Word gaps (~1 glyph
 # width) never split; a deliberate column gutter (≥4 widths) always does.
 PDFISH_COL_GAP_FACTOR = 4
+# Spanning block (a full-width title/abstract bridging a column gutter):
+# a page-global y-band whose glyphs form ONE x-run (no column gap inside)
+# covering at least 3/5 of the page's reading-axis extent is emitted as its
+# own full-width block BEFORE column clustering, so it cannot glue the
+# columns together (integer rule: 5 * extent >= 3 * reading_dim). Two
+# parallel column lines at the same y are ≥2 runs, never spanning.
+PDFISH_SPAN_NUM = 3
+PDFISH_SPAN_DEN = 5
 
 
 SESSION_GAP_SECONDS = 1800  # gap that starts a new session (batch + streaming)

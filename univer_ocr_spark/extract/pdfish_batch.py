@@ -9,8 +9,10 @@ at ~130 glyphs/payload (fixed overhead), but across a 2048-turn Arrow batch
 sort and space/gap logic all amortize into a handful of vectorized kernels.
 
 Semantics are identical to extract_pdfish (property-tested equal): 4-way
-orientation vote (aspect + margin-excluded mass-center), x-gap column
-clustering, y-band merging, margin strip, reading order, word-gap spaces.
+orientation vote (aspect + margin-excluded mass-center), spanning-block
+pre-pass (full-width titles emit as their own segments; columns cluster
+per region between them), x-gap column clustering, y-band merging, margin
+strip, reading order, word-gap spaces.
 Payloads that fail strict-format validation fall back to the tolerant
 per-payload parser individually.
 """
@@ -28,6 +30,8 @@ from univer_ocr_spark.constants import (
     PDFISH_MARGIN_NUM,
     PDFISH_SPACE_DEN,
     PDFISH_SPACE_NUM,
+    PDFISH_SPAN_DEN,
+    PDFISH_SPAN_NUM,
 )
 from univer_ocr_spark.extract.pdfish_extract import extract_pdfish
 from univer_ocr_spark.spans import Span
@@ -190,13 +194,71 @@ def extract_pdfish_many(payloads: Sequence[str]) -> List[Result]:
     base = np.asarray(hdr_len, dtype=np.int64) - starts_rel[gstart]
     offs = starts_rel + np.repeat(base, cnt) + 2
 
-    # ---- column clustering per payload: x-projection union with gap
-    # threshold = COL_GAP_FACTOR * max reading extent (per payload)
+    # ---- spanning-block pre-pass (r3, mirrors the slow path exactly):
+    # page-global y-bands; a band whose glyphs form ONE x-run covering
+    # >= 3/5 of the reading-axis extent is a full-width block (spanning
+    # title/abstract) and becomes its OWN segment, so it cannot glue the
+    # columns together; non-spanning bands between spanning ones form
+    # regions that column-cluster independently.
     thresh_p = PDFISH_COL_GAP_FACTOR * np.maximum.reduceat(bw, gstart)
     thresh_g = thresh_p[pid]
+    rdim_p = np.where((orient_p == 0) | (orient_p == 2), pw, ph)
+
+    bigy = S + 1
+    gykey = by + pid * bigy
+    gyend = by + bh + pid * bigy
+    gord = np.lexsort((bx, gykey))
+    grun_end = np.maximum.accumulate(gyend[gord])
+    gbrk = np.empty(G, dtype=bool)
+    gbrk[0] = True
+    gbrk[1:] = gykey[gord][1:] >= grun_end[:-1]
+    gband_sorted = np.cumsum(gbrk) - 1
+    gband = np.empty(G, dtype=np.int64)
+    gband[gord] = gband_sorted          # global y-band id, (pid, y)-ascending
+    NB = int(gband_sorted[-1]) + 1
+    gband_pid = pid[gord][np.flatnonzero(gbrk)]
+
+    # per-band x-runs + extent (the same gap rule column clustering uses)
     bigx = S + int(thresh_p.max()) + 1
-    xkey = bx + pid * bigx
-    xend = bx + bw + pid * bigx
+    bxkey = bx + gband * bigx
+    bxend = bx + bw + gband * bigx
+    bord = np.argsort(bxkey, kind="stable")
+    brun_end = np.maximum.accumulate(bxend[bord])
+    bbrk = np.empty(G, dtype=bool)
+    bbrk[0] = True
+    bbrk[1:] = bxkey[bord][1:] >= brun_end[:-1] + thresh_g[bord][1:]
+    bstart = np.searchsorted(gband[bord], np.arange(NB))
+    n_runs = np.add.reduceat(bbrk.astype(np.int64), bstart)
+    bx_min = bx[bord][bstart]
+    bx_max = np.maximum.reduceat((bx + bw)[bord], bstart)
+    spanning = (n_runs == 1) & (
+        PDFISH_SPAN_DEN * (bx_max - bx_min)
+        >= PDFISH_SPAN_NUM * rdim_p[gband_pid]
+    )
+
+    # segment per band: region k (bands after the k-th spanning band of the
+    # payload) -> seg 2k; the k-th spanning band itself -> seg 2k+1 — the
+    # interleaved reading order (region above the title, title, region below)
+    span_i = spanning.astype(np.int64)
+    nspan_before = np.cumsum(span_i) - span_i
+    pid_first_gband = np.searchsorted(gband_pid, np.arange(P))
+    k_of_band = nspan_before - nspan_before[pid_first_gband][gband_pid]
+    seg_of_band = 2 * k_of_band + span_i
+    segbound = int(seg_of_band.max()) + 1
+    if (P * segbound + 1) * int(bigx) > 2 ** 62:
+        # composite segment keys would overflow int64 — adversarial-scale
+        # coords only; route through the tolerant per-row parser
+        for i in pids:
+            results[i] = extract_pdfish(payloads[i])
+        return results
+    greg = gband_pid[gband] * segbound + seg_of_band[gband]  # per glyph
+
+    # ---- column clustering per (payload, segment): x-projection union with
+    # gap threshold = COL_GAP_FACTOR * max reading extent (page-global). A
+    # spanning segment is one x-run by construction -> exactly one column,
+    # so the shared pipeline below handles both segment kinds uniformly.
+    xkey = bx + greg * bigx
+    xend = bx + bw + greg * bigx
     ordx = np.argsort(xkey, kind="stable")
     run_endx = np.maximum.accumulate(xend[ordx])
     brkc = np.empty(G, dtype=bool)
@@ -204,10 +266,9 @@ def extract_pdfish_many(payloads: Sequence[str]) -> List[Result]:
     brkc[1:] = xkey[ordx][1:] >= run_endx[:-1] + thresh_g[ordx][1:]
     col_sorted = np.cumsum(brkc) - 1
     col = np.empty(G, dtype=np.int64)
-    col[ordx] = col_sorted  # global column id, ascending in (pid, x)
+    col[ordx] = col_sorted  # global column id, ascending in (pid, seg, x)
 
     # ---- y-interval band clustering per column (col id is globally unique)
-    bigy = S + 1
     ykey = by + col * bigy
     endkey = by + bh + col * bigy
     order = np.lexsort((bx, ykey))

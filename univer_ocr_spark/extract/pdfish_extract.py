@@ -14,10 +14,18 @@ Direct analog of the reference's line geometry:
 - glyph ordering within a line          ≈ interpreter.py:95-96 (O2);
 - margin stripping                      ≈ boilerplate masking (P4-flavored).
 
-Integer arithmetic throughout — exact under any parallelism. Known degraded
-mode (documented): a full-width run bridging a column gutter (e.g. a title
-spanning both columns) merges the columns for that page — output stays
-deterministic and loss-free, only the reading order interleaves.
+Integer arithmetic throughout — exact under any parallelism.
+
+Spanning blocks (r3): a page-global y-band forming ONE x-run that covers
+≥ 3/5 of the reading-axis extent (a title/abstract bridging the gutter) is
+emitted as its own full-width block at its vertical position; column
+clustering runs per REGION between spanning bands, so a spanning title can
+no longer glue two columns together (the r2 documented degraded mode). The
+reference handles the same geometry with per-component crops
+(ref: interpreter.py:133-171, :303-308). Remaining degraded mode: a
+spanning line whose band OVERLAPS a column line's band y-interval merges
+with it (≥2 runs → not spanning) — output stays deterministic and
+loss-free, only the reading order interleaves.
 """
 
 from __future__ import annotations
@@ -31,6 +39,8 @@ from univer_ocr_spark.constants import (
     PDFISH_MARGIN_NUM,
     PDFISH_SPACE_DEN,
     PDFISH_SPACE_NUM,
+    PDFISH_SPAN_DEN,
+    PDFISH_SPAN_NUM,
 )
 from univer_ocr_spark.spans import Span
 
@@ -86,13 +96,15 @@ def orient_glyphs(
     mirror-symmetric, hence orientation-invariant, and without it a heavy
     footer run outweighs a short body and flips the vote.
 
-    Returns ``(oriented, dim, neg)``: glyphs as (ch, (bx, by, bw, bh, off))
-    where bx/bw are reading-axis coord/extent and by/bh band-axis, ``dim``
-    the band-axis page extent for the margin rule, and ``neg`` True when
-    band coords were negated (margin centers un-negate with it).
+    Returns ``(oriented, dim, neg, rdim)``: glyphs as
+    (ch, (bx, by, bw, bh, off)) where bx/bw are reading-axis coord/extent
+    and by/bh band-axis, ``dim`` the band-axis page extent for the margin
+    rule, ``neg`` True when band coords were negated (margin centers
+    un-negate with it), and ``rdim`` the READING-axis page extent (the
+    spanning-block rule's denominator).
     """
     if not glyphs:
-        return glyphs, page_h, False
+        return glyphs, page_h, False, page_w
     sw = sum(g[1][2] for g in glyphs)
     sh = sum(g[1][3] for g in glyphs)
 
@@ -120,12 +132,12 @@ def orient_glyphs(
                 (ch, (y, -(x + wd), ht, wd, off))
                 for ch, (x, y, wd, ht, off) in glyphs
             ]
-            return out, page_w, True
+            return out, page_w, True, page_h
         out = [
             (ch, (-(y + ht), x, ht, wd, off))
             for ch, (x, y, wd, ht, off) in glyphs
         ]
-        return out, page_w, False
+        return out, page_w, False, page_h
     # portrait: 0° or 180° — flipped content mass sits below the middle
     flipped = _mass_above(1, 3, page_h)
     if flipped:
@@ -133,19 +145,21 @@ def orient_glyphs(
             (ch, (-(x + wd), -(y + ht), wd, ht, off))
             for ch, (x, y, wd, ht, off) in glyphs
         ]
-        return out, page_h, True
-    return glyphs, page_h, False
+        return out, page_h, True, page_w
+    return glyphs, page_h, False, page_w
 
 
 def cluster_columns(
-    glyphs: List[Tuple[str, Glyph]]
+    glyphs: List[Tuple[str, Glyph]], thresh: int | None = None
 ) -> List[List[Tuple[str, Glyph]]]:
     """Group glyphs into columns by x-projection interval union with a gap
-    threshold of COL_GAP_FACTOR × max reading extent. Columns are returned
-    in reading order (left to right)."""
+    threshold of COL_GAP_FACTOR × max reading extent (page-global when the
+    caller passes ``thresh`` — per-region inputs must not shrink it).
+    Columns are returned in reading order (left to right)."""
     if not glyphs:
         return []
-    thresh = PDFISH_COL_GAP_FACTOR * max(g[1][2] for g in glyphs)
+    if thresh is None:
+        thresh = PDFISH_COL_GAP_FACTOR * max(g[1][2] for g in glyphs)
     ordered = sorted(glyphs, key=lambda g: g[1][0])
     cols: List[List[Tuple[str, Glyph]]] = []
     cur_hi = None
@@ -185,6 +199,23 @@ def cluster_lines(
     return lines
 
 
+def _is_spanning(
+    members: List[Tuple[str, Glyph]], thresh: int, rdim: int
+) -> bool:
+    """A page-global band is a spanning block iff its glyphs form ONE x-run
+    (same gap rule as column clustering) covering ≥ SPAN_NUM/SPAN_DEN of
+    the reading-axis page extent. Two column lines sharing the band are ≥2
+    runs; a lone narrow line fails the extent test."""
+    xs = sorted((g[0], g[0] + g[2]) for _ch, g in members)
+    run_hi = None
+    for x, x_end in xs:
+        if run_hi is not None and x >= run_hi + thresh:
+            return False  # second x-run: normal multi-column content
+        run_hi = x_end if run_hi is None else max(run_hi, x_end)
+    extent = run_hi - xs[0][0]
+    return PDFISH_SPAN_DEN * extent >= PDFISH_SPAN_NUM * rdim
+
+
 def extract_pdfish(payload: str) -> Tuple[str, List[Span]]:
     """Return (extracted_text, spans).
 
@@ -192,35 +223,60 @@ def extract_pdfish(payload: str) -> Tuple[str, List[Span]]:
     payloads through the Arrow-batch vectorized twin
     (extract/pdfish_batch.py) — NumPy only pays off across thousands of
     turns at once; per payload this pure-Python path is faster.
+
+    Reading order: page-global y-bands are walked top-to-bottom; spanning
+    bands emit in place as full-width blocks, and the non-spanning bands
+    BETWEEN them form regions that are column-clustered independently —
+    region columns left-to-right, lines top-to-bottom within each column.
     """
     page_w, page_h, glyphs = parse_glyphs(payload)
-    oriented, dim, neg = orient_glyphs(glyphs, page_w, page_h)
+    oriented, dim, neg, rdim = orient_glyphs(glyphs, page_w, page_h)
+    if not oriented:
+        return "", []
+    thresh = PDFISH_COL_GAP_FACTOR * max(g[1][2] for g in oriented)
 
     spans: List[Span] = []
     unit_texts: List[str] = []
     unit = 0
-    for col in cluster_columns(oriented):
-        for band_lo, band_hi, members in cluster_lines(col):
-            # margin strip: drop if center < dim/10 or center > 9*dim/10
-            # (integers); negated band coords un-negate for the center
-            c2 = -(band_lo + band_hi) if neg else band_lo + band_hi
-            if (
-                PDFISH_MARGIN_DEN * c2 < 2 * PDFISH_MARGIN_NUM * dim
-                or PDFISH_MARGIN_DEN * c2
-                > 2 * (PDFISH_MARGIN_DEN - PDFISH_MARGIN_NUM) * dim
-            ):
-                continue
-            members.sort(key=lambda g: g[1][0])  # by reading coord
-            chars: List[str] = []
-            prev_x = prev_w = None
-            for ch, (x, _y, wd, _ht, off) in members:
-                if prev_x is not None:
-                    gap = x - (prev_x + prev_w)
-                    if gap >= 1 and PDFISH_SPACE_DEN * gap >= PDFISH_SPACE_NUM * prev_w:
-                        chars.append(" ")
-                chars.append(ch)
-                spans.append((unit, off, off + 1))
-                prev_x, prev_w = x, wd
-            unit_texts.append("".join(chars))
-            unit += 1
+
+    def emit_line(band_lo: int, band_hi: int,
+                  members: List[Tuple[str, Glyph]]) -> None:
+        nonlocal unit
+        # margin strip: drop if center < dim/10 or center > 9*dim/10
+        # (integers); negated band coords un-negate for the center
+        c2 = -(band_lo + band_hi) if neg else band_lo + band_hi
+        if (
+            PDFISH_MARGIN_DEN * c2 < 2 * PDFISH_MARGIN_NUM * dim
+            or PDFISH_MARGIN_DEN * c2
+            > 2 * (PDFISH_MARGIN_DEN - PDFISH_MARGIN_NUM) * dim
+        ):
+            return
+        members.sort(key=lambda g: g[1][0])  # by reading coord
+        chars: List[str] = []
+        prev_x = prev_w = None
+        for ch, (x, _y, wd, _ht, off) in members:
+            if prev_x is not None:
+                gap = x - (prev_x + prev_w)
+                if gap >= 1 and PDFISH_SPACE_DEN * gap >= PDFISH_SPACE_NUM * prev_w:
+                    chars.append(" ")
+            chars.append(ch)
+            spans.append((unit, off, off + 1))
+            prev_x, prev_w = x, wd
+        unit_texts.append("".join(chars))
+        unit += 1
+
+    def flush_region(region: List[Tuple[str, Glyph]]) -> None:
+        for col in cluster_columns(region, thresh):
+            for band_lo, band_hi, members in cluster_lines(col):
+                emit_line(band_lo, band_hi, members)
+
+    region: List[Tuple[str, Glyph]] = []
+    for band_lo, band_hi, members in cluster_lines(oriented):
+        if _is_spanning(members, thresh, rdim):
+            flush_region(region)
+            region = []
+            emit_line(band_lo, band_hi, members)
+        else:
+            region.extend(members)
+    flush_region(region)
     return "\n".join(unit_texts), spans

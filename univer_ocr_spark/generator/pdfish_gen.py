@@ -82,12 +82,30 @@ def generate_pdfish(rng: Random) -> Tuple[str, str, List[Span], List[Block]]:
 
     if two_col:
         # header/footer runs stay inside column 1's x-range so the gutter
-        # is never bridged (full-width banners are the documented degraded
-        # mode, not generated)
+        # is never bridged by BOILERPLATE; ~50% of two-column pages get a
+        # full-width spanning TITLE across the gutter (the real-document
+        # geometry the r3 spanning-block pre-pass exists for: without it
+        # the title glues both columns into one and garbles reading order)
         if rng.random() < 0.5:
             g, _ = _lay_line(rng, 10, words_lo=2, words_hi=3, word_hi=6)
             glyphs.extend((ch, x, y, False, -1) for ch, x, y in g)
         unit = 0
+        if rng.random() < 0.5:
+            # title band [85, 95): below the top-margin strip (center 90 is
+            # outside the top 10% of 792), above the body (y >= 120), one
+            # x-run whose extent >= 372 > ceil(3/5 * 612) — spanning by the
+            # integer rule, never splittable by the column gap test
+            title_words: List[str] = []
+            x = 40
+            while x - 40 < 380:
+                w = word(rng, hi=8)
+                title_words.append(w)
+                for ch in w:
+                    glyphs.append((ch, x, 85, True, 0))
+                    x += GLYPH_W
+                x += GLYPH_W
+            gold_lines.append(" ".join(title_words))
+            unit = 1
         for x0 in (40, COL2_X):
             n_lines = rng.randint(2, 4)
             for k in range(n_lines):
