@@ -5,8 +5,17 @@ The streaming twin of ops/dedup.dedup_exact — a stateful
 so the keeper per fingerprint is EXACTLY the batch min(doc_id) canonical
 regardless of arrival order (within-batch and across batches; a
 first-seen ``dropDuplicates`` would instead keep an arbitrary same-batch
-row). On a live cluster add a watermark to bound state to the dedup
-horizon; AvailableNow keeps tests deterministic.
+row). AvailableNow keeps tests deterministic.
+
+Two state regimes:
+- ``dedup_stream_parquet_dir`` — UNBOUNDED state (exact forever-dedup);
+  right for replays/backfills, grows with distinct fingerprints.
+- ``dedup_stream_watermarked`` — state bounded to an EVENT-TIME horizon
+  (watermark + ``dropDuplicatesWithinWatermark``): the production shape
+  for an endless stream. The documented trade: a duplicate arriving more
+  than ``horizon`` after its original's event time is re-emitted (state
+  for the original has been reclaimed), and emission is FIRST-ARRIVING
+  within the horizon, not global min-id.
 """
 
 from __future__ import annotations
@@ -38,6 +47,47 @@ def dedup_stream_parquet_dir(
         out.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("complete")  # memory table = the converged keeper set
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def dedup_stream_watermarked(
+    spark: SparkSession,
+    input_dir: str,
+    horizon: str = "10 minutes",
+    query_name: str = "dedup_stream_wm",
+) -> None:
+    """Bounded-state streaming dedup: emit the first-arriving row per
+    content fingerprint, suppress duplicates whose event time falls within
+    ``horizon`` of the kept row, and RECLAIM state once the watermark
+    passes the horizon — state size is bounded by the horizon's distinct
+    fingerprints, not the stream's lifetime (the r2 variant grew forever).
+
+    Uses ``withWatermark(ts) + dropDuplicatesWithinWatermark(fingerprint)``
+    (Structured Streaming's purpose-built bounded dedup operator). Late
+    duplicates BEYOND the horizon are re-emitted — the documented miss that
+    makes bounded state possible; a downstream batch `dedup_exact` over any
+    window restores exactness where needed. Blocks until drained
+    (AvailableNow); the memory sink runs append mode, so the result table
+    accretes emissions across micro-batches.
+    """
+    schema = spark.read.parquet(input_dir).schema  # needs an event-time ts
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # state must span micro-batches
+        .parquet(input_dir)
+    )
+    out = (
+        src.withColumn("fingerprint", fingerprint_expr(F.col("text")))
+        .withWatermark("ts", horizon)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
