@@ -110,33 +110,69 @@ def main() -> None:
 
     # Warm-up: spawn Python workers, distribute the py-files zip, trigger
     # codegen — steady-state throughput is what scales with cores, and what
-    # a long-running cluster job actually sees.
+    # a long-running cluster job actually sees. The two-python-stage warm-up
+    # for the extract_* queries deliberately happens AFTER the headline:
+    # measured r3, running a chained wrap→extract job first destabilizes the
+    # python worker pool for the next few jobs (2.2s headline → 8-12s,
+    # recovering over ~3 runs) — the headline must see a pool shaped like
+    # its own single-python-stage job, like a real cluster run would.
     log("warm-up pass...")
     run_extraction(spark.read.parquet(tr_path).limit(2000)).agg(
         F.sum("n_spans")
     ).collect()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
-    # warm the two-python-stage worker pool (wrap→extract chains spawn a
-    # second set of workers) on the tiny sf0.001 tables
-    extract_docs.extract_pdfish_docs(spark, "/root/testdata/sf0.001").count()
 
     # this host has noisy-neighbor episodes (load spikes with no local
     # process); best-of-N per query keeps one polluted sample from being
-    # recorded as the query's cost
+    # recorded as the query's cost. Loadavg alone can't separate neighbors
+    # from our own just-finished 32-thread bursts (load1 decays over ~1min),
+    # so the pollution signal is the INSTANTANEOUS external CPU busy
+    # fraction sampled from /proc/stat while this process is idle between
+    # runs; the 1-min loadavg is still recorded as the audit trail. A query
+    # whose every window was polluted is retried (after a settle) up to 2
+    # extra times instead of recording noise.
     repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
+    busy_suspect = float(os.environ.get("SPARK_GRAFT_BUSY_SUSPECT", "0.25"))
+    loadavgs: dict[str, list[float]] = {}
+
+    def external_busy(window: float = 0.2) -> float:
+        """CPU busy fraction over ``window`` seconds — measured while WE are
+        idle, so any busy time is another tenant's."""
+        def snap():
+            with open("/proc/stat") as fh:
+                f = fh.readline().split()[1:]
+            vals = list(map(int, f))
+            idle = vals[3] + vals[4]  # idle + iowait
+            return idle, sum(vals)
+        i0, t0 = snap()
+        time.sleep(window)
+        i1, t1 = snap()
+        dt = max(t1 - t0, 1)
+        return 1.0 - (i1 - i0) / dt
 
     def bench(name, fn, n_runs=repeats):
         if ONLY and name not in ONLY:
             return
-        best = None
-        for _ in range(max(1, n_runs)):
+        samples: list[tuple[float, float, float]] = []  # (dt, busy, load1)
+        max_tries = max(1, n_runs) + 2
+        while len(samples) < max_tries:
             spark.catalog.clearCache()  # query-internal persists must not leak
+            busy = external_busy()
+            load1 = os.getloadavg()[0]
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            samples.append((dt, busy, load1))
+            if len(samples) < max(1, n_runs):
+                continue
+            if min(b for _dt, b, _l in samples) <= busy_suspect:
+                break  # at least one clean window — best-of-N is trustable
+            log(f"{name}: every window had external busy > {busy_suspect}, retrying")
+            time.sleep(2)  # let the neighbor episode pass
+        best, busy, load1 = min(samples)
         timings[name] = round(best, 3)
-        log(f"{name}: {best:.3f}s")
+        loadavgs[name] = [round(busy, 3), round(load1, 2)]
+        log(f"{name}: {best:.3f}s (ext-busy {busy:.2f}, load1 {load1:.1f})")
 
     def run_transcripts():
         df = spark.read.parquet(tr_path)
@@ -157,8 +193,12 @@ def main() -> None:
         out = conv_stats(run_extraction(df, drop_payload=True), n_salt=CPUS)
         out.agg(F.sum("total_chars")).collect()
 
-    # three runs: best-of-3 is the headline (noisy shared host), median-of-3
-    # reported alongside so the steady-state claim is auditable
+    # one untimed settle run (first full-table pass pays one-off partition
+    # discovery + worker scale-up, ~1s), then three timed runs: best-of-3 is
+    # the headline (noisy shared host), median-of-3 reported alongside so
+    # the steady-state claim is auditable
+    if not ONLY or "transcripts_extract" in ONLY:
+        run_transcripts()
     runs: list[float] = []
     for _ in range(3):
         bench("transcripts_extract", run_transcripts, n_runs=1)
@@ -179,6 +219,10 @@ def main() -> None:
         )
     bench("transcripts_conv_stats", run_conv_stats)
 
+    # NOW warm the two-python-stage worker pool (wrap→extract chains spawn
+    # a second set of workers) for the extract_* queries below
+    extract_docs.extract_pdfish_docs(spark, "/root/testdata/sf0.001").count()
+
     for name, fn in [
         ("q1_pricing_summary", relational.q1_pricing_summary),
         ("q_revenue_by_nation", relational.q_revenue_by_nation),
@@ -194,6 +238,8 @@ def main() -> None:
         ("neardup_clusters", dedup.neardup_clusters),
         ("ann_bruteforce_topk", similarity.ann_bruteforce_topk),
         ("ann_lsh_topk", similarity.ann_lsh_topk),
+        ("ann_ivf_scaled_topk", similarity.ann_ivf_scaled_topk),
+        ("simhash_neardup_pairs", dedup.simhash_neardup_pairs),
         ("extract_html_docs", extract_docs.extract_html_docs),
         ("extract_pdfish_docs", extract_docs.extract_pdfish_docs),
         ("extract_pdfish_columns_docs", extract_docs.extract_pdfish_columns_docs),
@@ -208,6 +254,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cpus": CPUS,
+        # per-query [external-busy fraction, 1-min loadavg] at the best
+        # run's start: the audit trail for noisy-neighbor pollution
+        # (see BENCH/REGRESSION.md)
+        "loadavg": loadavgs,
         **extras,
     }
     print(json.dumps(result), flush=True)

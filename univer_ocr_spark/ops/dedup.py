@@ -445,7 +445,10 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
+    ).localCheckpoint()
+    # ^ checkpoint BEFORE deriving the seed set: both the seed and the CC
+    # loop consume edges, and without the barrier each would re-run the
+    # whole LSH+verify pipeline (measured 2x on the bench)
     # seed the iteration with edge-touched docs ONLY: singletons (the large
     # majority of a real corpus) never change label, so shuffling them every
     # round is pure waste — they join back once at the end
