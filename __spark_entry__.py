@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_mode": textstats.doc_ngram_mode,
         "doc_sample_deterministic": textstats.doc_sample_deterministic,
         "doc_quality_filter": textstats.doc_quality_filter,
+        "doc_top_terms": textstats.doc_top_terms,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "minhash_signatures": dedup.minhash_signatures,
@@ -227,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_mode": textstats.DOC_NGRAM_MODE_SQL,
         "doc_sample_deterministic": textstats.DOC_SAMPLE_SQL,
         "doc_quality_filter": textstats.doc_quality_filter_sql(),
+        "doc_top_terms": textstats.DOC_TOP_TERMS_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "minhash_signatures": dedup.minhash_signatures_sql(),
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs_sql(),

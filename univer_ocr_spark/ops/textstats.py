@@ -229,6 +229,76 @@ WHERE k < '4' ORDER BY doc_id
 """
 
 
+TOP_TERMS_K = 3
+
+
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-K corpus-weighted terms (TF-IDF family): the classic
+    training-data op for keyword extraction / template detection.
+
+    The IDF is the BM25 rational form WITHOUT the log —
+    ``(N - df + 0.5) / (df + 0.5)`` — a strictly monotone transform of the
+    usual log-IDF, so rankings are identical, but the arithmetic is pure
+    IEEE division (log() implementations may differ by ULPs across libm
+    versions, which would break cross-engine hash parity at rounding
+    boundaries).
+
+    Scale shape: two map-side-combined aggregates (tf per (doc, term), df
+    per term), one vocabulary-sized join back on term (AQE picks the
+    strategy), a broadcast 1-row corpus count, and a per-doc rank window —
+    no all-pairs stage, no driver-side vocabulary.
+    """
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.lower(F.col("text"))), WS_CLASS + "+")
+    terms = d.select("doc_id", F.explode(toks).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5),
+                4,
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_TERMS_K)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+DOC_TOP_TERMS_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '{WS_CLASS}+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM terms WHERE term <> '' GROUP BY doc_id, term),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         round(tf * (n_docs - df + 0.5) / (df + 0.5), 4) AS score
+  FROM tf JOIN dfc USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rk
+  FROM scored)
+SELECT doc_id, term, tf, df, score, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {TOP_TERMS_K} ORDER BY doc_id, rk
+"""
+
+
 QF_MIN_TOKENS = 25
 
 
