@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_acctbal_histogram": relational.q_acctbal_histogram,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q_supplier_extremes": relational.q_supplier_extremes,
+        "q17_small_qty_revenue": relational.q17_small_qty_revenue,
         # text analysis (training-data pipeline ops)
         "doc_token_stats": textstats.doc_token_stats,
         "doc_lang_heuristic": textstats.doc_lang_heuristic,
@@ -220,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "q_acctbal_histogram": relational.Q_ACCTBAL_HISTOGRAM_SQL,
         "q3_shipping_priority": relational.Q3_SQL,
         "q_supplier_extremes": relational.Q_SUPPLIER_EXTREMES_SQL,
+        "q17_small_qty_revenue": relational.Q17_SQL,
         "q_user_median_pandas": relational.Q_USER_MEDIAN_SQL,
         "doc_token_stats": textstats.DOC_TOKEN_STATS_SQL,
         "doc_lang_heuristic": textstats.doc_lang_oracle_sql(),

@@ -554,3 +554,50 @@ SELECT n_name,
        round(min(s_acctbal), 2) AS min_bal
 FROM ranked GROUP BY n_name ORDER BY n_name
 """
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 flavor: revenue from small-quantity orders of small parts —
+    the correlated-scalar-subquery pattern (per-part avg quantity gates each
+    line of that part), expressed in its DECORRELATED form: one aggregate
+    over lineitem keyed by partkey, joined back on the same key. Catalyst
+    rewrites the correlated form to exactly this plan; writing it directly
+    keeps the shuffle count visible (agg and join co-partition on
+    l_partkey, so AQE coalesces to one exchange per side; the part dim
+    broadcasts). The per-part threshold 0.2*avg(l_quantity) is exact and
+    order-independent across engines because quantities are integral (the
+    sum is an exact integer-valued double).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5).select(
+        "p_partkey", "p_brand"
+    )
+    thr = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thr")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+Q17_SQL = """
+WITH thr AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thr
+  FROM lineitem GROUP BY l_partkey)
+SELECT p_brand,
+       round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_size <= 5
+JOIN thr USING (l_partkey)
+WHERE l_quantity < qty_thr
+GROUP BY p_brand ORDER BY p_brand
+"""
