@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "extract_markup_docs": _with_pkg(extract_docs.extract_markup_docs),
             "extract_pdfish_docs": _with_pkg(extract_docs.extract_pdfish_docs),
             "extract_pdfish_columns_docs": _with_pkg(extract_docs.extract_pdfish_columns_docs),
+            "extract_pdfish_title_docs": _with_pkg(extract_docs.extract_pdfish_title_docs),
             "extract_html_blocks_docs": _with_pkg(extract_docs.extract_html_blocks_docs),
             "extract_html_entities_docs": _with_pkg(extract_docs.extract_html_entities_docs),
             "extract_markup_collapse_docs": _with_pkg(extract_docs.extract_markup_collapse_docs),
@@ -250,6 +251,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_markup_docs": extract_docs.EXTRACT_MARKUP_DOCS_SQL,
         "extract_pdfish_docs": extract_docs.EXTRACT_PDFISH_DOCS_SQL,
         "extract_pdfish_columns_docs": extract_docs.EXTRACT_PDFISH_COLUMNS_SQL,
+        "extract_pdfish_title_docs": extract_docs.EXTRACT_PDFISH_TITLE_SQL,
         "extract_html_blocks_docs": extract_docs.EXTRACT_HTML_BLOCKS_SQL,
         "extract_html_entities_docs": extract_docs.EXTRACT_HTML_ENTITIES_SQL,
         "extract_markup_collapse_docs": extract_docs.EXTRACT_MARKUP_COLLAPSE_SQL,

@@ -329,6 +329,103 @@ FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id
 """
 
 
+# fixed spanning title: one x-run from x=40, 44 glyphs + 5 word gaps =
+# 392 px >= ceil(3/5 * 612) = 368 (the integer spanning rule) and inside
+# the page; laid at y=85 (below the 10% top margin of 792, above the body)
+_TITLE_WORDS = ("document", "heading", "overview", "summary", "sections", "report")
+TITLE_MAX_WORDS = 28  # <= 2 columns of 14 one-word lines: page stays 612 wide
+
+
+def _pdfish_title_payload(doc_id: int, text: str) -> str:
+    """Two-column page (one word per line, 14 lines per column, columns at
+    x=40/330) UNDER a full-width spanning title. Column lines stay narrow
+    (single words) so only the title is spanning; correct extraction must
+    emit the title first, then the words in column-major order — a
+    column-unaware reader would interleave the title into the columns."""
+    words = _ws_tokens(text)
+    recs = []
+    x = 40
+    for w in _TITLE_WORDS:
+        for ch in w:
+            recs.append(f"g {ch} {x} 85 8 10")
+            x += 8
+        x += 8
+    for c0 in range(0, len(words), 14):
+        x0 = 40 + (c0 // 14) * 290
+        for k, w in enumerate(words[c0 : c0 + 14]):
+            x = x0
+            y = 120 + 20 * k
+            for ch in w:
+                recs.append(f"g {ch} {x} {y} 8 10")
+                x += 8
+    Random(doc_id).shuffle(recs)
+    return "%PDFISH 612 792\n" + "\n".join(recs) + "\n"
+
+
+def extract_pdfish_title_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spanning-title reading order through the REAL extraction stage (the
+    r3 capability, driver-gated): expected flat text = the fixed title then
+    the doc's words in original order (column-major one-word lines restore
+    it by construction); n_units = 1 + word count. Docs are filtered to
+    <= TITLE_MAX_WORDS words on both engines so the page geometry is fixed
+    (two columns, page width 612 — the spanning threshold must not move
+    with content)."""
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    # count NONEMPTY tokens (leading non-space whitespace would otherwise
+    # produce a phantom '' token and shift the expected unit count) and cap
+    # word length at 32 chars (a longer word would bridge the fixed gutter)
+    toks = F.filter(
+        F.split(F.trim(F.lower("text")), WS_CLASS + "+"),
+        lambda x: x != "",
+    )
+    d = d.filter(
+        (F.length(F.trim("text")) > 0)
+        & (F.size(toks) <= TITLE_MAX_WORDS)
+        & (F.size(F.filter(toks, lambda x: F.length(x) > 32)) == 0)
+    )
+
+    def wrap(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "text": [
+                        _pdfish_title_payload(int(i), t)
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    wrapped = d.mapInPandas(wrap, schema="doc_id long, text string")
+    out = extract_stage(wrapped)
+    return out.select(
+        "doc_id",
+        F.replace(F.col("extracted_text"), F.lit("\n"), F.lit(" ")).alias(
+            "extracted_flat"
+        ),
+        F.col("n_units").cast("long").alias("n_units"),
+    ).orderBy("doc_id")
+
+
+EXTRACT_PDFISH_TITLE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(lower(text)), '{WS_CLASS}+'),
+                     t -> t <> '') AS ts
+  FROM documents WHERE length(trim(text)) > 0)
+SELECT doc_id,
+       '{" ".join(_TITLE_WORDS)} ' || trim(regexp_replace(text, '{WS_CLASS}+', ' ', 'g'))
+         AS extracted_flat,
+       CAST(1 + len(ts) AS BIGINT) AS n_units
+FROM toks
+WHERE len(ts) <= {TITLE_MAX_WORDS}
+  AND len(list_filter(ts, t -> length(t) > 32)) = 0
+ORDER BY doc_id
+"""
+
+
 def extract_html_blocks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-bookkeeping check via SQL: a two-block page (h1 + p) must yield
     exactly 2 units / 2 spans in document order, with the extracted text
