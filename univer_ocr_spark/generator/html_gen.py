@@ -7,8 +7,11 @@ blocks (nav/aside/footer subtrees or link-farms with high link density), and
 the generator records each kept text node's exact char span while
 serializing.
 
-Generated text never contains ``< > &`` (constants.ALPHABET excludes them),
-so text nodes are verbatim payload slices — no entity decoding needed.
+Generated text never contains raw ``< > &`` (constants.ALPHABET excludes
+them); special characters enter text nodes ONLY as entity references —
+named (``&amp;`` …) and numeric (``&#233;`` / ``&#x2019;``) — which the
+extractor must decode with one span per reference (r3: numeric refs are on
+the flagship golden path, not just the by-construction oracle query).
 """
 
 from __future__ import annotations
@@ -24,6 +27,15 @@ from univer_ocr_spark.generator.words import ascii_word, sentence, word
 from univer_ocr_spark.spans import Span
 
 Block = Tuple[int, int, str, bool, int, int]  # (block_id, line_id, kind, is_main, start, end)
+
+# (reference, decoded char): the five named entities plus numeric character
+# references — decimal and hex — ubiquitous in real HTML
+_ENTITY_REFS = (
+    ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&apos;", "'"),
+    ("&#233;", "é"), ("&#8364;", "€"),
+    ("&#x2019;", "’"), ("&#X2014;", "—"),
+)
 
 
 def _add_span(spans: List[Span], unit: int, start: int, end: int) -> None:
@@ -106,6 +118,25 @@ def _main_block(b: _Builder, rng: Random, tag: str, spans: List[Span], unit: int
             golden_parts.append(t2)
             last_text_end = dstart + len(t2)
             b.add(f"</{deco}>")
+    if rng.random() < 0.35:
+        # entity-laced tail run: "<lead> <word><ref><word>" where <ref> is a
+        # named or numeric character reference. The pre-ref literal merges
+        # with the preceding text node span (the extractor sees one maximal
+        # node and splits it AT the ref), the ref gets its own span decoding
+        # to one char, and the trailing literal starts a fresh span.
+        ref, ch = _ENTITY_REFS[rng.randrange(len(_ENTITY_REFS))]
+        lead = " " + word(rng)
+        start = b.add(lead)
+        _add_span(spans, unit, start, start + len(lead))
+        golden_parts.append(lead)
+        rstart = b.add(ref)
+        spans.append((unit, rstart, rstart + len(ref)))  # no merge: own span
+        golden_parts.append(ch)
+        tail = word(rng)
+        tstart = b.add(tail)
+        spans.append((unit, tstart, tstart + len(tail)))  # fresh literal run
+        golden_parts.append(tail)
+        last_text_end = tstart + len(tail)
     b.add(close_tag)
     # block extent = first..last text character (matches the extractor's
     # node extents; inline close tags are not content)
