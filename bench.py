@@ -231,6 +231,8 @@ def main() -> None:
         ("q_running_user_value", relational.q_running_user_value),
         ("doc_token_stats", textstats.doc_token_stats),
         ("doc_fingerprint", textstats.doc_fingerprint),
+        ("doc_top_terms", textstats.doc_top_terms),
+        ("q17_small_qty_revenue", relational.q17_small_qty_revenue),
         ("dedup_exact", dedup.dedup_exact),
         ("minhash_lsh_pairs", dedup.minhash_lsh_pairs),
         ("ngram_jaccard_pairs", dedup.ngram_jaccard_pairs),

@@ -42,3 +42,35 @@ def test_batch_equals_per_row_on_fuzz(batch):
     got = extract_payloads_batch(batch)
     for i, p in enumerate(batch):
         assert got[i] == extract_payload(p or "")
+
+
+# entity-ref-shaped fuzz: arbitrary (valid, invalid, surrogate, oversized)
+# character references embedded in well-formed HTML — the extractor must
+# never raise, decoded text must round-trip via reconstruct, and every
+# decodable ref must land as its own one-char span
+_refs = st.one_of(
+    st.integers(min_value=0, max_value=0x120000).map(lambda n: f"&#{n};"),
+    st.integers(min_value=0, max_value=0x120000).map(lambda n: f"&#x{n:x};"),
+    st.sampled_from(["&amp;", "&lt;", "&gt;", "&quot;", "&apos;",
+                     "&bogus;", "&#;", "&#x;", "&#", "&"]),
+)
+_html_with_refs = st.lists(
+    st.one_of(_refs, st.text(alphabet="abc xyz", max_size=6)),
+    max_size=12,
+).map(lambda ps: "<html><body><p>" + "".join(ps) + "</p></body></html>")
+
+
+@settings(max_examples=300, deadline=None)
+@given(_html_with_refs)
+def test_entity_refs_fuzz_roundtrip(payload):
+    from univer_ocr_spark.constants import decode_entity
+
+    text, spans, kind = extract_payload(payload)
+    assert kind == "html"
+    validate_spans(payload, spans)
+    assert reconstruct(payload, spans, decode_html_entities=True) == text
+    for _u, s, e in spans:
+        piece = payload[s:e]
+        dec = decode_entity(piece)
+        if dec is not None and e - s > 1:
+            assert len(dec) == 1  # a decoded ref span is exactly one char
