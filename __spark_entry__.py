@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "extract_pdfish_title_docs": _with_pkg(extract_docs.extract_pdfish_title_docs),
             "extract_html_blocks_docs": _with_pkg(extract_docs.extract_html_blocks_docs),
             "extract_html_entities_docs": _with_pkg(extract_docs.extract_html_entities_docs),
+            "extract_html_br_docs": _with_pkg(extract_docs.extract_html_br_docs),
             "extract_markup_collapse_docs": _with_pkg(extract_docs.extract_markup_collapse_docs),
             "transcripts_extract": _with_pkg(_transcripts_extract),
             "transcripts_extract_summary": _with_pkg(_transcripts_extract_summary),
@@ -254,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_pdfish_title_docs": extract_docs.EXTRACT_PDFISH_TITLE_SQL,
         "extract_html_blocks_docs": extract_docs.EXTRACT_HTML_BLOCKS_SQL,
         "extract_html_entities_docs": extract_docs.EXTRACT_HTML_ENTITIES_SQL,
+        "extract_html_br_docs": extract_docs.EXTRACT_HTML_BR_SQL,
         "extract_markup_collapse_docs": extract_docs.EXTRACT_MARKUP_COLLAPSE_SQL,
         "multimodal_features": multimodal.MULTIMODAL_FEATURES_SQL,
         # The three transcript oracles all derive from the materialized

@@ -41,3 +41,21 @@ def test_decode_entity_contract():
     assert decode_entity("&amp;") == "&"
     for bad in ("&#xD800;", "&#xDFFF;", "&#1114112;", "&#;", "&#x;", "&bogus;", "A"):
         assert decode_entity(bad) is None, bad
+
+
+def test_br_splits_units_without_phantom_chars():
+    payload = _wrap("alpha<br>beta gamma<br><br>delta<br>")
+    text, spans = extract_html(payload)
+    assert text == "alpha\nbeta gamma\ndelta"
+    validate_spans(payload, spans)
+    # three units, spans verbatim (newlines are unit joins, not characters)
+    assert {u for u, _s, _e in spans} == {0, 1, 2}
+    assert reconstruct(payload, spans, decode_html_entities=True) == text
+
+
+def test_br_in_dropped_subtree_and_outside_blocks_is_inert():
+    payload = ("<html><head><title>x<br>y</title></head><body><br>"
+               "<p>one</p><br></body></html>")
+    text, spans = extract_html(payload)
+    assert text == "one"
+    validate_spans(payload, spans)

@@ -20,11 +20,12 @@ N = 200
 def test_html_block_segmentation_and_classification():
     for seed in range(N):
         payload, _gt, _gs, gold_blocks = generate_html(Random(seed))
-        got_main = [
-            (tag, nodes[0][0], nodes[-1][1])
-            for tag, is_main, nodes in parse_blocks(payload)
-            if is_main
-        ]
+        got_main = []
+        for tag, is_main, nodes in parse_blocks(payload):
+            if not is_main:
+                continue
+            real = [n for n in nodes if n is not None]  # <br> markers
+            got_main.append((tag, real[0][0], real[-1][1]))
         want_main = [
             (kind, start, end) for (_b, _l, kind, is_main, start, end) in gold_blocks
             if is_main

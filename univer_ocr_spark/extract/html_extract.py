@@ -3,8 +3,9 @@
 Re-expresses the reference's mask pipeline relationally:
 - tag-stack DOM traversal with drop-subtrees  ≈ the letter-spacing veto /
   background masking (ref: interpreter.py:115-120);
-- grouping text nodes into innermost block elements ≈ connected-component
-  labeling of paragraphs (ref: interpreter.py:16-21);
+- grouping text nodes into innermost block elements, with <br> splitting a
+  block into line units ≈ connected-component labeling of paragraphs/lines
+  (ref: interpreter.py:16-21);
 - link-density threshold ≈ the mean-threshold binarization predicate
   (ref: interpreter.py:17), here Boilerpipe/Readability-style.
 
@@ -43,8 +44,13 @@ _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>]*>")
 _VOID_TAGS = frozenset({"br", "hr", "img", "meta", "link", "input"})
 _ENT_RE = re.compile(r"&(?:amp|lt|gt|quot|apos|#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6});")
 
-# Extractor-side block record: (tag, nodes) with nodes = [(start, end, in_link)]
-ExtractorBlock = Tuple[str, bool, List[Tuple[int, int, bool]]]
+# Extractor-side block record: (tag, nodes) with nodes = [(start, end,
+# in_link)] interleaved with None markers — a <br> inside the block. Each
+# maximal marker-free run of nodes becomes its own extraction unit, so
+# "line1<br>line2" yields two units instead of gluing the lines, WITHOUT
+# inventing characters the payload doesn't contain (spans stay verbatim;
+# units are joined by newline at output time).
+ExtractorBlock = Tuple[str, bool, List[Tuple[int, int, bool] | None]]
 
 
 def parse_blocks(payload: str) -> List[ExtractorBlock]:
@@ -72,6 +78,15 @@ def parse_blocks(payload: str) -> List[ExtractorBlock]:
         g1, name = m.group(1, 2)
         closing, name = g1 == "/", name.lower()
         if name in _VOID_TAGS:
+            if (
+                name == "br"
+                and not closing
+                and drop_depth == 0
+                and open_blocks
+            ):
+                nodes = blocks[open_blocks[-1]][1]
+                if nodes and nodes[-1] is not None:
+                    nodes.append(None)  # unit break inside the block
             continue
         if closing:
             # tolerant pop to the matching open tag
@@ -100,8 +115,11 @@ def parse_blocks(payload: str) -> List[ExtractorBlock]:
 
     out: List[ExtractorBlock] = []
     for tag, nodes in blocks:
-        total = sum(e - s for s, e, _ in nodes)
-        link = sum(e - s for s, e, in_link in nodes if in_link)
+        real = [n for n in nodes if n is not None]
+        total = sum(e - s for s, e, _ in real)
+        link = sum(e - s for s, e, in_link in real if in_link)
+        # density classifies the whole BLOCK (boilerplate-ness is a block
+        # property); <br> markers only affect unit segmentation
         is_main = total > 0 and (
             HTML_LINK_DENSITY_DEN * link <= HTML_LINK_DENSITY_NUM * total
         )
@@ -110,7 +128,9 @@ def parse_blocks(payload: str) -> List[ExtractorBlock]:
 
 
 def extract_html(payload: str) -> Tuple[str, List[Span]]:
-    """Return (extracted_text, spans) for the main-content blocks."""
+    """Return (extracted_text, spans) for the main-content blocks; a <br>
+    inside a main block starts a new unit (trailing/duplicate breaks are
+    suppressed at parse time)."""
     spans: List[Span] = []
     unit_texts: List[str] = []
     unit = 0
@@ -118,7 +138,14 @@ def extract_html(payload: str) -> Tuple[str, List[Span]]:
         if not is_main:
             continue
         parts = []
-        for s, e, _ in nodes:
+        for node in nodes:
+            if node is None:  # <br>: close the current unit, open the next
+                if parts:
+                    unit_texts.append("".join(parts))
+                    unit += 1
+                    parts = []
+                continue
+            s, e, _ = node
             seg = payload[s:e]
             if "&" not in seg:  # fast path: entity-free node, one span
                 spans.append((unit, s, e))
@@ -141,6 +168,7 @@ def extract_html(payload: str) -> Tuple[str, List[Span]]:
             if pos < len(seg):
                 spans.append((unit, s + pos, e))
                 parts.append(seg[pos:])
-        unit_texts.append("".join(parts))
-        unit += 1
+        if parts:  # empty only after a trailing <br> — no empty unit
+            unit_texts.append("".join(parts))
+            unit += 1
     return "\n".join(unit_texts), spans

@@ -207,10 +207,12 @@ def extract_pdfish_many(payloads: Sequence[str]) -> List[Result]:
     bigy = S + 1
     gykey = by + pid * bigy
     gyend = by + bh + pid * bigy
-    # band membership depends only on the y-interval union, so a single-key
-    # stable sort suffices (no bx tiebreak — ties share by, hence the same
-    # break decision regardless of order)
-    gord = np.argsort(gykey, kind="stable")
+    # bx tiebreak matches the slow path's (y, x) sort: for NORMAL glyphs tie
+    # order is invisible (equal-y intervals overlap, so they merge into one
+    # band either way), but degenerate ZERO-HEIGHT glyphs have empty
+    # y-intervals where every tie breaks a band — segmentation then follows
+    # the tie order, which must be the slow path's
+    gord = np.lexsort((bx, gykey))
     grun_end = np.maximum.accumulate(gyend[gord])
     gbrk = np.empty(G, dtype=bool)
     gbrk[0] = True

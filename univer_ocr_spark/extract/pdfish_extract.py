@@ -270,13 +270,27 @@ def extract_pdfish(payload: str) -> Tuple[str, List[Span]]:
             for band_lo, band_hi, members in cluster_lines(col):
                 emit_line(band_lo, band_hi, members)
 
-    region: List[Tuple[str, Glyph]] = []
-    for band_lo, band_hi, members in cluster_lines(oriented):
+    # classify bands, then rebuild each region's glyph list in ORIGINAL
+    # input order (keyed by the unique char offset): column clustering
+    # breaks ties of equal reading-coordinate by encounter order, and the
+    # batch twin's stable sorts see input order — zero-extent degenerate
+    # glyphs (fuzz) make that tie order observable
+    bands = cluster_lines(oriented)
+    span_bands: List[Tuple[int, int, List[Tuple[str, Glyph]]]] = []
+    region_of = {}
+    for band_lo, band_hi, members in bands:
         if _is_spanning(members, thresh, rdim):
-            flush_region(region)
-            region = []
-            emit_line(band_lo, band_hi, members)
+            span_bands.append((band_lo, band_hi, members))
         else:
-            region.extend(members)
-    flush_region(region)
+            for _ch, g in members:
+                region_of[g[4]] = len(span_bands)
+    regions: dict = {}
+    for ch, g in oriented:
+        r = region_of.get(g[4])
+        if r is not None:
+            regions.setdefault(r, []).append((ch, g))
+    for r in range(len(span_bands) + 1):
+        flush_region(regions.get(r, []))
+        if r < len(span_bands):
+            emit_line(*span_bands[r])
     return "\n".join(unit_texts), spans

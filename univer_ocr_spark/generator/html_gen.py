@@ -65,8 +65,15 @@ class _Builder:
         return "".join(self.parts)
 
 
-def _main_block(b: _Builder, rng: Random, tag: str, spans: List[Span], unit: int) -> Tuple[str, int, int]:
-    """Emit one main-content block; return (golden_text, start, end)."""
+def _main_block(
+    b: _Builder, rng: Random, tag: str, spans: List[Span], unit: int
+) -> Tuple[List[str], int, int]:
+    """Emit one main-content block; return (golden_unit_texts, start, end).
+
+    A block may contain <br> line breaks (~25% of inter-run joints): the
+    extractor starts a new UNIT at each, so the block contributes
+    len(golden_unit_texts) units.
+    """
     open_tag = "<ul><li>" if tag == "li" else f"<{tag}>"
     close_tag = "</li></ul>" if tag == "li" else f"</{tag}>"
     b.add(open_tag)
@@ -75,13 +82,8 @@ def _main_block(b: _Builder, rng: Random, tag: str, spans: List[Span], unit: int
     # Content: 1-3 text runs, optionally decorated with inline tags; at most
     # one short link, kept under the link-density threshold by construction.
     n_runs = rng.randint(1, 3)
-    texts: List[Tuple[str, bool]] = []  # (text, in_link)
-    for i in range(n_runs):
-        t = sentence(rng)
-        if i > 0:
-            t = " " + t
-        texts.append((t, False))
-    total = sum(len(t) for t, _ in texts)
+    sentences = [sentence(rng) for _ in range(n_runs)]
+    total = sum(len(t) for t in sentences)  # conservative (no separators)
     # Maybe insert a short inline link between runs (still main if density ok).
     link_text = None
     if rng.random() < 0.35:
@@ -92,9 +94,22 @@ def _main_block(b: _Builder, rng: Random, tag: str, spans: List[Span], unit: int
         ):
             link_text = None
 
-    golden_parts: List[str] = []
+    unit_texts: List[str] = []  # completed units of this block
+    golden_parts: List[str] = []  # current unit under construction
     last_text_end = block_start
-    for i, (t, _) in enumerate(texts):
+    for i, t0 in enumerate(sentences):
+        if i > 0 and rng.random() < 0.25:
+            # <br>: the extractor closes the unit here; the next run starts
+            # a fresh one (no joining space — it would become unit-leading)
+            b.add("<br>")
+            unit_texts.append("".join(golden_parts))
+            golden_parts = []
+            unit += 1
+            t = t0
+        elif i > 0:
+            t = " " + t0
+        else:
+            t = t0
         start = b.add(t)
         _add_span(spans, unit, start, start + len(t))
         golden_parts.append(t)
@@ -138,9 +153,10 @@ def _main_block(b: _Builder, rng: Random, tag: str, spans: List[Span], unit: int
         golden_parts.append(tail)
         last_text_end = tstart + len(tail)
     b.add(close_tag)
+    unit_texts.append("".join(golden_parts))
     # block extent = first..last text character (matches the extractor's
     # node extents; inline close tags are not content)
-    return "".join(golden_parts), block_start, last_text_end
+    return unit_texts, block_start, last_text_end
 
 
 def _nav_block(b: _Builder, rng: Random) -> Tuple[int, int]:
@@ -213,10 +229,10 @@ def generate_html(rng: Random) -> Tuple[str, str, List[Span], List[Block]]:
                 # (the two <p>s), the outer blockquote contributes none
                 b.add("<blockquote>")
                 for _ in range(2):
-                    text, s, e = _main_block(b, rng, "p", spans, unit)
-                    gold_units.append(text)
+                    texts, s, e = _main_block(b, rng, "p", spans, unit)
+                    gold_units.extend(texts)
                     blocks.append((block_id, 0, "p", True, s, e))
-                    unit += 1
+                    unit += len(texts)
                 b.add("</blockquote>")
                 block_id += 1
                 continue
@@ -224,18 +240,18 @@ def generate_html(rng: Random) -> Tuple[str, str, List[Span], List[Block]]:
                 # table row: one unit per <td> cell
                 b.add("<table><tr>")
                 for _ in range(rng.randint(2, 3)):
-                    text, s, e = _main_block(b, rng, "td", spans, unit)
-                    gold_units.append(text)
+                    texts, s, e = _main_block(b, rng, "td", spans, unit)
+                    gold_units.extend(texts)
                     blocks.append((block_id, 0, "td", True, s, e))
-                    unit += 1
+                    unit += len(texts)
                 b.add("</tr></table>")
                 block_id += 1
                 continue
             tag = rng.choice(main_tags)
-            text, s, e = _main_block(b, rng, tag, spans, unit)
-            gold_units.append(text)
+            texts, s, e = _main_block(b, rng, tag, spans, unit)
+            gold_units.extend(texts)
             blocks.append((block_id, 0, tag, True, s, e))
-            unit += 1
+            unit += len(texts)
         else:
             kind = rng.choice(boiler_kinds)
             if kind == "nav":

@@ -163,6 +163,45 @@ FROM counted ORDER BY doc_id
 """
 
 
+def extract_html_br_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<br> line-break handling through the REAL extraction stage: every
+    inter-word space becomes a <br>, so each word must come back as its own
+    unit (span-safe: no phantom characters — units join with newline).
+    Expected flat text = whitespace-normalized sanitized doc text;
+    n_units = word count — both stated by the oracle by construction."""
+    d = _docs(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(_sanitize(F.col("text")), WS_CLASS + "+", " ")
+    )
+    payload = F.concat(
+        F.lit('<html><body><nav><a href="/">home</a></nav><p>'),
+        F.replace(norm, F.lit(" "), F.lit("<br>")),
+        F.lit("</p></body></html>"),
+    )
+    wrapped = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", payload.alias("text")
+    )
+    out = extract_stage(wrapped)
+    return out.select(
+        "doc_id",
+        F.replace(F.col("extracted_text"), F.lit("\n"), F.lit(" ")).alias(
+            "extracted_flat"
+        ),
+        F.col("n_units").cast("long").alias("n_units"),
+    ).orderBy("doc_id")
+
+
+EXTRACT_HTML_BR_SQL = f"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace({_SANITIZE_SQL}, '{WS_CLASS}+', ' ', 'g')) AS flat
+  FROM documents WHERE length(trim(text)) > 0)
+SELECT doc_id, flat AS extracted_flat,
+       CAST(len(regexp_split_to_array(flat, ' ')) AS BIGINT) AS n_units
+FROM norm ORDER BY doc_id
+"""
+
+
 def extract_markup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wrap each doc in an ANSI status line + markdown fences, run the real
     extraction stage. Expected = text with newlines flattened (content is
