@@ -66,3 +66,49 @@ def test_iceberg_commit_empty_bucket_deletes_partition(spark):
     assert snap == "42"
     out.writeTo.assert_not_called()
     assert any("DELETE FROM lake.db.t WHERE bucket = 7" in q for q in seen)
+
+
+def test_run_with_manifest_iceberg_branch(spark, tmp_path, monkeypatch):
+    """The full manifest runner over the Iceberg sink with a mocked catalog:
+    every non-empty bucket commits via writeTo().overwritePartitions() and
+    records the read-back snapshot id as its lineage; empty buckets take
+    the explicit-DELETE path; a second run resumes to a no-op."""
+    from univer_ocr_spark.generator.transcripts import transcripts_df
+    from univer_ocr_spark.spark.manifest import read_manifest, run_with_manifest
+
+    monkeypatch.setenv("UNIVER_ICEBERG_TABLE", "lake.db.extracted")
+    part_ok = spark.createDataFrame(
+        [], "partition struct<bucket:int>, record_count long"
+    )
+    monkeypatch.setattr(type(spark), "table", lambda self, name: part_ok)
+
+    snap_ids = iter(range(1000, 2000))
+    sql_seen: list[str] = []
+    real_create = spark.createDataFrame
+
+    def fake_sql(self, q):
+        sql_seen.append(q)
+        return real_create([(next(snap_ids),)], "snapshot_id long")
+
+    monkeypatch.setattr(type(spark), "sql", fake_sql)
+    writeto = mock.MagicMock()
+    # patch the CONCRETE DataFrame class (Spark 4 splits base/classic)
+    monkeypatch.setattr(type(part_ok), "writeTo", writeto, raising=False)
+
+    df = transcripts_df(spark, 6, with_goldens=False)
+    workdir = str(tmp_path / "icejob")
+    n_buckets = 16  # >> 6 convs: several buckets are empty -> DELETE path
+    done = run_with_manifest(spark, df, workdir, n_buckets=n_buckets)
+    assert len(done) == n_buckets
+
+    rows = read_manifest(spark, workdir).collect()
+    assert len(rows) == n_buckets
+    assert all(r["output_snapshot"] for r in rows)  # lineage cited per bucket
+    n_empty = sum(1 for r in rows if r["n_rows"] == 0)
+    assert 0 < n_empty < n_buckets
+    deletes = [q for q in sql_seen if q.startswith("DELETE FROM lake.db.extracted")]
+    assert len(deletes) == n_empty  # empty buckets delete their partition
+    assert writeto.call_count == n_buckets - n_empty  # non-empty overwrite
+
+    # resume: everything committed under this lineage -> no-op
+    assert run_with_manifest(spark, df, workdir, n_buckets=n_buckets) == []
