@@ -128,6 +128,54 @@ def _transcripts_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id", "turn_idx")
 
 
+def _conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level exact dedup ON THE TRANSCRIPT DOMAIN: a
+    conversation's fingerprint is the md5 over its per-turn extracted-text
+    digests in turn order, so two conversations are duplicates iff every
+    turn's EXTRACTED content matches — the dedup the 10^12-turn pipeline
+    actually runs (re-crawled/replayed conversations). Five planted copies
+    (including the mega-conversation) must be the only duplicates.
+
+    Scale shape: one groupBy(conv_id) whose state is digest-sized (33
+    bytes/turn — a 10^5-turn mega-conv is ~3 MB, no salting needed, unlike
+    the payload-sized conv_stats aggregate), then one window over the
+    fingerprint. The oracle derives the SAME fingerprints from the golden
+    parquet's text_md5 column, so this query doubles as another per-turn
+    extraction-equality gate."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    out = _transcripts_full(spark)
+    digests = out.select(
+        "conv_id", "turn_idx",
+        F.md5(F.encode("extracted_text", "UTF-8")).alias("td"),
+    )
+    dup = digests.filter(F.col("conv_id") <= "conv-00000004").withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("-copy"))
+    )
+    alls = digests.union(dup)
+    per_conv = alls.groupBy("conv_id").agg(
+        F.md5(
+            F.encode(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("turn_idx", "td"))),
+                        lambda s: s["td"],
+                    ),
+                ),
+                "UTF-8",
+            )
+        ).alias("conv_fp")
+    )
+    w = W.partitionBy("conv_fp")
+    return (
+        per_conv.withColumn("canonical_conv", F.min("conv_id").over(w))
+        .withColumn("is_dup", F.col("conv_id") != F.col("canonical_conv"))
+        .orderBy("conv_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # relational operator inventory (SURVEY.md §2.3-2.5 analogs)
@@ -189,6 +237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "extract_html_br_docs": _with_pkg(extract_docs.extract_html_br_docs),
             "extract_markup_collapse_docs": _with_pkg(extract_docs.extract_markup_collapse_docs),
             "transcripts_extract": _with_pkg(_transcripts_extract),
+            "conv_dedup": _with_pkg(_conv_dedup),
             "transcripts_extract_summary": _with_pkg(_transcripts_extract_summary),
             "extraction_qa": _with_pkg(_extraction_qa),
             # stubbed decode → deterministic fake features; the stub IS
@@ -263,6 +312,20 @@ def oracle_sql() -> dict[str, str]:
         # constants; a generator change re-materializes and the oracles
         # follow. n_matching/n_text_match are stated as count(*): every
         # turn must match its golden.
+        "conv_dedup": (
+            "WITH d AS (SELECT conv_id, turn_idx, text_md5 AS td"
+            f" FROM read_parquet('{goldens}')),\n"
+            "alls AS (SELECT * FROM d UNION ALL\n"
+            "         SELECT conv_id || '-copy', turn_idx, td FROM d"
+            " WHERE conv_id <= 'conv-00000004'),\n"
+            "fp AS (SELECT conv_id,"
+            " md5(string_agg(td, ',' ORDER BY turn_idx)) AS conv_fp\n"
+            "       FROM alls GROUP BY conv_id)\n"
+            "SELECT conv_id, conv_fp,\n"
+            "       min(conv_id) OVER (PARTITION BY conv_fp) AS canonical_conv,\n"
+            "       conv_id <> min(conv_id) OVER (PARTITION BY conv_fp) AS is_dup\n"
+            "FROM fp ORDER BY conv_id"
+        ),
         "transcripts_extract": (
             "SELECT conv_id, turn_idx, kind, n_units, n_spans, n_chars,"
             " text_md5, spans_str"
