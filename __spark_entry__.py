@@ -195,6 +195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q_supplier_extremes": relational.q_supplier_extremes,
         "q17_small_qty_revenue": relational.q17_small_qty_revenue,
+        # exact median: JVM production path (the pandas UDAF twin is below)
+        "q_user_median": relational.q_user_median,
         # text analysis (training-data pipeline ops)
         "doc_token_stats": textstats.doc_token_stats,
         "doc_lang_heuristic": textstats.doc_lang_heuristic,
@@ -232,7 +234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "extract_pdfish_docs": _with_pkg(extract_docs.extract_pdfish_docs),
             "extract_pdfish_columns_docs": _with_pkg(extract_docs.extract_pdfish_columns_docs),
             "extract_pdfish_title_docs": _with_pkg(extract_docs.extract_pdfish_title_docs),
+            "extract_pdfish_overlap_docs": _with_pkg(extract_docs.extract_pdfish_overlap_docs),
             "extract_html_blocks_docs": _with_pkg(extract_docs.extract_html_blocks_docs),
+            "extract_html_attr_docs": _with_pkg(extract_docs.extract_html_attr_docs),
             "extract_html_entities_docs": _with_pkg(extract_docs.extract_html_entities_docs),
             "extract_html_br_docs": _with_pkg(extract_docs.extract_html_br_docs),
             "extract_markup_collapse_docs": _with_pkg(extract_docs.extract_markup_collapse_docs),
@@ -273,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": relational.Q3_SQL,
         "q_supplier_extremes": relational.Q_SUPPLIER_EXTREMES_SQL,
         "q17_small_qty_revenue": relational.Q17_SQL,
+        "q_user_median": relational.Q_USER_MEDIAN_SQL,
         "q_user_median_pandas": relational.Q_USER_MEDIAN_SQL,
         "doc_token_stats": textstats.DOC_TOKEN_STATS_SQL,
         "doc_lang_heuristic": textstats.doc_lang_oracle_sql(),
@@ -302,7 +307,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_pdfish_docs": extract_docs.EXTRACT_PDFISH_DOCS_SQL,
         "extract_pdfish_columns_docs": extract_docs.EXTRACT_PDFISH_COLUMNS_SQL,
         "extract_pdfish_title_docs": extract_docs.EXTRACT_PDFISH_TITLE_SQL,
+        "extract_pdfish_overlap_docs": extract_docs.EXTRACT_PDFISH_OVERLAP_SQL,
         "extract_html_blocks_docs": extract_docs.EXTRACT_HTML_BLOCKS_SQL,
+        "extract_html_attr_docs": extract_docs.EXTRACT_HTML_ATTR_SQL,
         "extract_html_entities_docs": extract_docs.EXTRACT_HTML_ENTITIES_SQL,
         "extract_html_br_docs": extract_docs.EXTRACT_HTML_BR_SQL,
         "extract_markup_collapse_docs": extract_docs.EXTRACT_MARKUP_COLLAPSE_SQL,

@@ -41,6 +41,21 @@ def test_decode_entity_contract():
     assert decode_entity("&amp;") == "&"
     for bad in ("&#xD800;", "&#xDFFF;", "&#1114112;", "&#;", "&#x;", "&bogus;", "A"):
         assert decode_entity(bad) is None, bad
+    # int()-accepted forms the extractor regex rejects must NOT decode
+    # (ADVICE r3: '&#6_5;' stayed verbatim in extracted_text but decoded in
+    # reconstruct, breaking the audit invariant). Mirror _ENT_RE exactly.
+    for sneaky in ("&#6_5;", "&# 65;", "&#+65;", "&#-65;", "&#65 ;",
+                   "&#x4_1;", "&#x 41;", "&#x+41;", "&#٦٥;", "&#65\n;"):
+        assert decode_entity(sneaky) is None, sneaky
+
+
+def test_int_accepted_forms_match_extract_and_reconstruct():
+    # the invariant itself: whatever extract keeps verbatim, reconstruct
+    # must too (and vice versa for decoded refs)
+    for body in ("&#6_5;", "&# 65;", "&#+65;", "&#65;", "&#x41;"):
+        payload = _wrap(body)
+        text, spans = extract_html(payload)
+        assert reconstruct(payload, spans, decode_html_entities=True) == text
 
 
 def test_br_splits_units_without_phantom_chars():

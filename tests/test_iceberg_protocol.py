@@ -54,7 +54,30 @@ def test_iceberg_commit_overwrite_and_snapshot_readback(spark):
 
 def test_iceberg_commit_empty_bucket_deletes_partition(spark):
     # overwritePartitions on empty output touches nothing — stale rows from
-    # a superseded commit would survive; the commit must DELETE explicitly
+    # a superseded commit would survive; the commit must DELETE explicitly.
+    # A DELETE that removed rows creates a new snapshot, which is cited.
+    snap_ids = iter([100, 101])  # before-DELETE, after-DELETE (advanced)
+    seen: list[str] = []
+    out = mock.MagicMock()
+    out.sparkSession = spark
+
+    def fake_sql(q):
+        seen.append(q)
+        if "snapshots" in q:
+            return spark.createDataFrame([(next(snap_ids),)], "snapshot_id long")
+        return mock.MagicMock()
+
+    with mock.patch.object(type(spark), "sql", side_effect=fake_sql):
+        snap = mf._iceberg_commit(out, "lake.db.t", bucket=7, n_rows=0)
+    assert snap == "101"
+    out.writeTo.assert_not_called()
+    assert any("DELETE FROM lake.db.t WHERE bucket = 7" in q for q in seen)
+
+
+def test_iceberg_commit_empty_bucket_no_op_delete_records_no_lineage(spark):
+    # A DELETE matching no rows (first-run empty bucket) creates NO new
+    # snapshot — the manifest must NOT attribute the previous, unrelated
+    # commit's snapshot to this bucket (ADVICE r3)
     snap_df = spark.createDataFrame([(42,)], "snapshot_id long")
     seen: list[str] = []
     out = mock.MagicMock()
@@ -63,7 +86,7 @@ def test_iceberg_commit_empty_bucket_deletes_partition(spark):
         type(spark), "sql", side_effect=lambda q: seen.append(q) or snap_df
     ):
         snap = mf._iceberg_commit(out, "lake.db.t", bucket=7, n_rows=0)
-    assert snap == "42"
+    assert snap == ""  # unchanged snapshot id → no lineage claimed
     out.writeTo.assert_not_called()
     assert any("DELETE FROM lake.db.t WHERE bucket = 7" in q for q in seen)
 

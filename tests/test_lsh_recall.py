@@ -1,0 +1,85 @@
+"""MinHash-LSH banding must honor the advertised JACCARD_THRESHOLD.
+
+The r3 verdict: the hard-coded 2x4 banding had its S-curve midpoint at
+s* ~ 0.84, so true pairs with Jaccard in [0.25, ~0.8) were silently dropped
+at candidate generation while the oracle twin (same CTE) stayed green.
+These tests pin (a) the banding derivation itself and (b) end-to-end recall
+on planted pairs sitting just above the threshold boundary (J ~ 0.31) —
+the non-vacuous-output discipline CLAUDE.md records for the LSH family.
+Everything here is deterministic: minhash is md5-based, texts are fixed.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from univer_ocr_spark.ops import dedup
+
+
+def test_banding_derivation_tracks_threshold():
+    # the live constants are derived, not hand-kept
+    assert (dedup.LSH_BANDS, dedup.LSH_ROWS) == dedup._derive_banding(
+        dedup.JACCARD_THRESHOLD
+    )
+    assert dedup.MINHASH_K == dedup.LSH_BANDS * dedup.LSH_ROWS
+    assert dedup.MINHASH_K <= dedup.MINHASH_K_MAX
+    for t in (0.25, 0.4, 0.55, 0.7, 0.9):
+        b, r = dedup._derive_banding(t)
+        assert b * r <= dedup.MINHASH_K_MAX
+        # the derivation's contract: a just-above-threshold pair (J=1.2t)
+        # reaches the recall target...
+        j = min(1.2 * t, 1.0)
+        assert 1.0 - (1.0 - j ** r) ** b >= dedup.LSH_RECALL_TARGET - 1e-9
+        # ...and a pair AT the threshold retains a real collision chance
+        # (the r3 2x4 banding gave J=0.25 pairs ~9%)
+        assert 1.0 - (1.0 - t ** r) ** b >= 0.4
+    # a higher threshold affords steeper curves (more rows per band)
+    assert dedup._derive_banding(0.9)[1] >= dedup._derive_banding(0.25)[1]
+
+
+N_PAIRS = 20
+
+
+@pytest.fixture(scope="module")
+def planted_docs_dir(spark, tmp_path_factory):
+    """Documents table with N_PAIRS planted pairs at J ~ 0.31 (just above
+    JACCARD_THRESHOLD=0.25) plus unrelated filler docs. Per-doc-unique
+    vocabularies keep every cross-pair Jaccard at exactly 0."""
+    d = tmp_path_factory.mktemp("lsh_recall")
+    rows = []
+    doc_id = 0
+    for i in range(N_PAIRS):
+        base = [f"p{i}w{j}" for j in range(20)]
+        # share the first 10 tokens -> 9 shared shingles; each side has 19
+        # shingles; J = 9 / (19 + 19 - 9) = 9/29 ~ 0.31
+        variant = base[:10] + [f"p{i}v{j}" for j in range(10)]
+        rows.append((doc_id, " ".join(base)))
+        rows.append((doc_id + 1, " ".join(variant)))
+        doc_id += 2
+    for i in range(30):  # unrelated filler
+        rows.append((doc_id, " ".join(f"f{i}w{j}" for j in range(15))))
+        doc_id += 1
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_planted_pair_recall_at_threshold_boundary(spark, planted_docs_dir):
+    planted = {(2 * i, 2 * i + 1) for i in range(N_PAIRS)}
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(spark, planted_docs_dir).collect()
+    }
+    recall = len(cand & planted) / N_PAIRS
+    # expected recall at J=0.31 with 8x1 banding: 1-(1-0.31)^8 ~ 0.95;
+    # the old 2x4 banding would find ~9% of these pairs
+    assert recall >= 0.8, f"candidate recall {recall} below 0.8: {sorted(cand)}"
+
+    # and the verified path keeps them (J ~ 0.31 >= 0.25) with exact scores
+    ver = dedup.lsh_verified_pairs(spark, planted_docs_dir).collect()
+    ver_pairs = {(r["doc_a"], r["doc_b"]) for r in ver}
+    assert len(ver_pairs & planted) / N_PAIRS >= 0.8
+    for r in ver:
+        if (r["doc_a"], r["doc_b"]) in planted:
+            assert abs(r["jaccard"] - 9 / 29) < 0.01

@@ -2,12 +2,25 @@
 efficiency ≥ 0.8 from N to 4N executors, evidenced in-sandbox as local[N]
 vs local[4N] on the SAME input).
 
-Runs bench.py's transcript-extraction job as subprocesses at local[8] and
-local[32], computes efficiency = (tps_4N / tps_N) / 4, and writes
-BENCH/BASELINE.md. The input parquet is generated once and shared (bench.py
-caches by turn count), so both runs read identical bytes.
+Hardened per the r4 plan (the r3 verdict's #1: the evidence did not
+reproduce under independent measurement — the 16-core leg's number was a
+property of its noise window):
 
-Usage: python tools/scaling_bench.py [n_low] [n_high] [turns]
+- each leg runs as ``reps`` independent bench.py subprocesses (each itself
+  best-of-3 internally, with its own per-run external-busy retry), and the
+  leg's figure is the best across subprocesses — session-level variance
+  (JVM startup, worker-pool shape, page-cache state) averages out;
+- before EVERY leg the host is gated on the /proc/stat external-busy
+  fraction (sampled while this process is idle — the only signal that
+  separates a noisy neighbor from our own just-finished burst): the leg
+  waits for a ≤ BUSY_CLEAN window, up to a timeout;
+- leg order alternates between repetitions (low,high / high,low) so slow
+  host drift cannot systematically favor one leg;
+- the WHOLE measurement runs twice; BENCH/BASELINE.md reports both
+  efficiencies, their delta (repeatability: the r3 'done' bar is a second
+  run within ±0.05), and the per-leg ext-busy at each best run.
+
+Usage: python tools/scaling_bench.py [n_low] [n_high] [turns] [reps]
 """
 
 from __future__ import annotations
@@ -17,8 +30,39 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BUSY_CLEAN = 0.05   # external CPU busy fraction considered a clean window
+GATE_TIMEOUT = 180  # max seconds to wait for a clean window per leg
+
+
+def external_busy(window: float = 0.5) -> float:
+    """CPU busy fraction over ``window`` seconds, measured while WE are
+    idle — any busy time is another tenant's (same probe as bench.py)."""
+    def snap():
+        with open("/proc/stat") as fh:
+            f = fh.readline().split()[1:]
+        vals = list(map(int, f))
+        return vals[3] + vals[4], sum(vals)  # idle+iowait, total
+
+    i0, t0 = snap()
+    time.sleep(window)
+    i1, t1 = snap()
+    return 1.0 - (i1 - i0) / max(t1 - t0, 1)
+
+
+def wait_clean() -> float:
+    """Block until the host shows a clean window (ext-busy ≤ BUSY_CLEAN);
+    returns the gate's last reading (recorded even on timeout)."""
+    t0 = time.time()
+    busy = external_busy()
+    while busy > BUSY_CLEAN and time.time() - t0 < GATE_TIMEOUT:
+        print(f"  gate: ext-busy {busy:.2f} > {BUSY_CLEAN}, waiting...",
+              file=sys.stderr)
+        time.sleep(5)
+        busy = external_busy()
+    return busy
 
 
 def run_bench(cpus: int, turns: int) -> dict:
@@ -36,43 +80,87 @@ def run_bench(cpus: int, turns: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def measure_once(n_low: int, n_high: int, turns: int, reps: int) -> dict:
+    """One full efficiency measurement: ``reps`` gated subprocess runs per
+    leg (alternating order), best-of per leg."""
+    samples: dict[int, list[dict]] = {n_low: [], n_high: []}
+    for rep in range(reps):
+        order = (n_low, n_high) if rep % 2 == 0 else (n_high, n_low)
+        for cpus in order:
+            gate_busy = wait_clean()
+            r = run_bench(cpus, turns)
+            r["gate_busy"] = round(gate_busy, 3)
+            samples[cpus].append(r)
+            print(
+                f"  local[{cpus}] rep{rep}: {r['queries']['transcripts_extract']}s"
+                f" = {r['turns_per_sec']} turns/s (gate {gate_busy:.2f},"
+                f" run ext-busy {r['loadavg']['transcripts_extract'][0]})",
+                file=sys.stderr,
+            )
+    best = {c: max(rs, key=lambda r: r["turns_per_sec"]) for c, rs in samples.items()}
+    eff = (best[n_high]["turns_per_sec"] / best[n_low]["turns_per_sec"]) / (
+        n_high / n_low
+    )
+    return {"best": best, "samples": samples, "efficiency": round(eff, 3)}
+
+
 def main() -> None:
     n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     n_high = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    turns = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
+    turns = int(sys.argv[3]) if len(sys.argv) > 3 else 2_000_000
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 
-    print(f"warm-up generation pass (shared input, {turns} turns)...", file=sys.stderr)
-    run_bench(n_high, turns)  # first run generates + warms the page cache
+    print(f"warm-up generation pass (shared input, {turns} turns)...",
+          file=sys.stderr)
+    run_bench(n_high, turns)  # generates the table + warms the page cache
 
-    results = {}
-    for cpus in (n_low, n_high):
-        r = run_bench(cpus, turns)
-        results[cpus] = r
-        print(f"local[{cpus}]: {r['queries']['transcripts_extract']}s, "
-              f"{r.get('turns_per_sec')} turns/s", file=sys.stderr)
+    runs = []
+    for i in (1, 2):
+        print(f"measurement run {i}...", file=sys.stderr)
+        runs.append(measure_once(n_low, n_high, turns, reps))
+    delta = abs(runs[0]["efficiency"] - runs[1]["efficiency"])
 
-    tps_low = results[n_low]["turns_per_sec"]
-    tps_high = results[n_high]["turns_per_sec"]
     ratio = n_high / n_low
-    eff = (tps_high / tps_low) / ratio
+    rows = []
+    for i, m in enumerate(runs, 1):
+        for cpus in (n_low, n_high):
+            b = m["best"][cpus]
+            rows.append(
+                f"| {i} | local[{cpus}]"
+                f"{' (N)' if cpus == n_low else f' ({ratio:.0f}N)'} "
+                f"| {b['queries']['transcripts_extract']} | {b['turns_per_sec']}"
+                f" | {b['loadavg']['transcripts_extract'][0]} | {b['gate_busy']}"
+                f" | {b['queries'].get('transcripts_conv_stats')} |"
+            )
+    table = "\n".join(rows)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")
     md = f"""# BENCH/BASELINE.md — measured scaling evidence
 
-Generated by `python tools/scaling_bench.py {n_low} {n_high} {turns}` at {stamp}.
+Generated by `python tools/scaling_bench.py {n_low} {n_high} {turns} {reps}`
+at {stamp}.
 
 North rule: extraction throughput scaling efficiency >= 0.8 from N to 4N
 executors. Evidenced in-sandbox as the same extraction job (same input
 parquet, {turns} transcript turns incl. one salted mega-conversation) at
 `local[{n_low}]` vs `local[{n_high}]` on one host.
 
-| parallelism | extract wall (s) | turns/sec | conv_stats wall (s) |
-|---|---|---|---|
-| local[{n_low}] (N) | {results[n_low]['queries']['transcripts_extract']} | {tps_low} | {results[n_low]['queries'].get('transcripts_conv_stats')} |
-| local[{n_high}] (4N) | {results[n_high]['queries']['transcripts_extract']} | {tps_high} | {results[n_high]['queries'].get('transcripts_conv_stats')} |
+Protocol (r4, reproducibility-hardened — see tools/scaling_bench.py):
+each leg = best of {reps} independent bench.py subprocesses (each itself
+best-of-3 with per-run external-busy retry), every leg gated on a
+/proc/stat external-busy <= {BUSY_CLEAN} window, leg order alternated, and
+the WHOLE measurement repeated twice. "ext-busy" below is the external CPU
+busy fraction at the best run's start (0.00 = no noisy neighbor); "gate"
+is the reading that admitted the leg.
 
-**Scaling efficiency (N -> {ratio:.0f}N): {eff:.3f}**  (target >= 0.8)
+| run | parallelism | extract wall (s) | turns/sec | ext-busy | gate | conv_stats wall (s) |
+|---|---|---|---|---|---|---|
+{table}
+
+**Scaling efficiency (N -> {ratio:.0f}N): run 1 = {runs[0]['efficiency']},
+run 2 = {runs[1]['efficiency']} (delta {delta:.3f}; repeatability bar ±0.05)**
+(target >= 0.8)
 
 Notes:
 - The extraction stage is shuffle-free (single mapInPandas over parquet
@@ -81,6 +169,8 @@ Notes:
   multi-executor cluster at fixed data-per-executor.
 - Output equality across parallelism levels is enforced separately by
   pytest (tests/test_extraction_spark.py::test_deterministic_across_partitionings).
+- 4 vs 16 cores, NOT 8 vs 32: this host's SMT caps 8->32 at ~0.74 by
+  hardware (CLAUDE.md) — the rule's N->4N contract needs physical cores.
 """
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     # preserve manually-added sections (e.g. the sustained-scale soak)
@@ -92,9 +182,12 @@ Notes:
     with open(path, "w") as f:
         f.write(md)
     print(json.dumps({
-        "n_low": n_low, "n_high": n_high, "turns": turns,
-        "tps_low": tps_low, "tps_high": tps_high,
-        "efficiency": round(eff, 3),
+        "n_low": n_low, "n_high": n_high, "turns": turns, "reps": reps,
+        "efficiency_run1": runs[0]["efficiency"],
+        "efficiency_run2": runs[1]["efficiency"],
+        "delta": round(delta, 3),
+        "tps_low_best": runs[0]["best"][n_low]["turns_per_sec"],
+        "tps_high_best": runs[0]["best"][n_high]["turns_per_sec"],
     }))
 
 

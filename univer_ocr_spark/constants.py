@@ -86,10 +86,20 @@ def decode_entity(ref: str) -> str | None:
     if not (ref.startswith("&#") and ref.endswith(";")):
         return None
     body = ref[2:-1]
-    try:
-        cp = int(body[1:], 16) if body[:1] in ("x", "X") else int(body)
-    except ValueError:
-        return None
+    # Strict digit validation mirroring the extractor's _ENT_RE character
+    # classes: bare int() also accepts signs, whitespace, underscores and
+    # Unicode digits, so '&#6_5;'/'&# 65;' would stay verbatim in
+    # extracted_text yet DECODE in reconstruct() — silently breaking the
+    # 10^12-row audit invariant (reconstruct == extracted).
+    if body[:1] in ("x", "X"):
+        digits = body[1:]
+        if not digits or any(c not in "0123456789abcdefABCDEF" for c in digits):
+            return None
+        cp = int(digits, 16)
+    else:
+        if not body or any(c not in "0123456789" for c in body):
+            return None
+        cp = int(body)
     if 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF:
         return None
     return chr(cp)

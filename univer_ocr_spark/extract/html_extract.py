@@ -22,8 +22,12 @@ and the reconstruction invariant stays auditable at 10^12 rows
 (``spans.reconstruct(..., decode_html_entities=True)``). Non-entity
 ampersands and UNdecodable refs (surrogate / out-of-range code points)
 stay verbatim.
-Attribute values containing ``>`` mis-split the tag regex for that one tag;
-the failure mode is a garbled text node on that row, never a task failure.
+
+Tag scanning is quote-aware (r4): a ``>`` inside a single- or double-quoted
+attribute value (inline JS handlers, data-URIs, ``=>`` arrow functions —
+constant in real-web HTML) does NOT terminate the tag, matching the HTML5
+tokenizer's attribute-value states. An UNTERMINATED quote makes the ``<``
+unmatchable as a tag, so it falls through as text — tolerated, never fatal.
 """
 
 from __future__ import annotations
@@ -40,7 +44,14 @@ from univer_ocr_spark.constants import (
 )
 from univer_ocr_spark.spans import Span
 
-_TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>]*>")
+# Quote-aware tag scanner (unrolled-loop form — linear time, no per-char
+# alternation): after the tag name, runs of chars that are neither '>' nor
+# a quote, interleaved with complete quoted sections whose interior may
+# contain '>'. The HTML5 tokenizer's double/single-quoted attribute-value
+# states consume '>' exactly the same way.
+_TAG_RE = re.compile(
+    r"""<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>"']*(?:"[^"]*"[^>"']*|'[^']*'[^>"']*)*>"""
+)
 _VOID_TAGS = frozenset({"br", "hr", "img", "meta", "link", "input"})
 _ENT_RE = re.compile(r"&(?:amp|lt|gt|quot|apos|#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6});")
 

@@ -194,12 +194,13 @@ def extract_pdfish_many(payloads: Sequence[str]) -> List[Result]:
     base = np.asarray(hdr_len, dtype=np.int64) - starts_rel[gstart]
     offs = starts_rel + np.repeat(base, cnt) + 2
 
-    # ---- spanning-block pre-pass (r3, mirrors the slow path exactly):
-    # page-global y-bands; a band whose glyphs form ONE x-run covering
-    # >= 3/5 of the reading-axis extent is a full-width block (spanning
-    # title/abstract) and becomes its OWN segment, so it cannot glue the
-    # columns together; non-spanning bands between spanning ones form
-    # regions that column-cluster independently.
+    # ---- spanning-block pre-pass (r3; r4 run-level — mirrors the slow
+    # path exactly): page-global y-bands are split into x-runs (the
+    # column-gap rule); ANY single run covering >= 3/5 of the reading-axis
+    # extent is a full-width block (spanning title/abstract) and becomes
+    # its OWN segment — even when its band also holds x-disjoint column
+    # lines (overlapping-band titles, the r3 degraded mode); a band's
+    # non-spanning runs join the region BELOW its spanning runs.
     thresh_p = PDFISH_COL_GAP_FACTOR * np.maximum.reduceat(bw, gstart)
     thresh_g = thresh_p[pid]
     rdim_p = np.where((orient_p == 0) | (orient_p == 2), pw, ph)
@@ -223,7 +224,8 @@ def extract_pdfish_many(payloads: Sequence[str]) -> List[Result]:
     NB = int(gband_sorted[-1]) + 1
     gband_pid = pid[gord][np.flatnonzero(gbrk)]
 
-    # per-band x-runs + extent (the same gap rule column clustering uses)
+    # per-band x-runs + extent (the same gap rule column clustering uses);
+    # runs are indexed ascending in (pid, band-y, x) by construction
     bigx = S + int(thresh_p.max()) + 1
     bxkey = bx + gband * bigx
     bxend = bx + bw + gband * bigx
@@ -232,31 +234,45 @@ def extract_pdfish_many(payloads: Sequence[str]) -> List[Result]:
     bbrk = np.empty(G, dtype=bool)
     bbrk[0] = True
     bbrk[1:] = bxkey[bord][1:] >= brun_end[:-1] + thresh_g[bord][1:]
-    bstart = np.searchsorted(gband[bord], np.arange(NB))
-    n_runs = np.add.reduceat(bbrk.astype(np.int64), bstart)
-    bx_min = bx[bord][bstart]
-    bx_max = np.maximum.reduceat((bx + bw)[bord], bstart)
-    spanning = (n_runs == 1) & (
-        PDFISH_SPAN_DEN * (bx_max - bx_min)
-        >= PDFISH_SPAN_NUM * rdim_p[gband_pid]
+    run_first = np.flatnonzero(bbrk)
+    NR = run_first.size
+    run_x_lo = bx[bord][run_first]
+    run_x_hi = np.maximum.reduceat((bx + bw)[bord], run_first)
+    run_band = gband[bord][run_first]
+    run_pid = gband_pid[run_band]
+    run_span = PDFISH_SPAN_DEN * (run_x_hi - run_x_lo) >= (
+        PDFISH_SPAN_NUM * rdim_p[run_pid]
     )
 
-    # segment per band: region k (bands after the k-th spanning band of the
-    # payload) -> seg 2k; the k-th spanning band itself -> seg 2k+1 — the
-    # interleaved reading order (region above the title, title, region below)
-    span_i = spanning.astype(np.int64)
-    nspan_before = np.cumsum(span_i) - span_i
+    # segment per RUN: the payload's k-th spanning run -> seg 2k+1; a
+    # non-spanning run sits in the region AFTER all spanning runs of its
+    # own band (k = spanning runs in earlier bands + in this band) -> seg
+    # 2k — the interleaved reading order (region above the title, title,
+    # region below), degenerating to the r3 band-level segmentation when
+    # every band is pure
+    span_i = run_span.astype(np.int64)
+    bstart_runs = np.searchsorted(run_band, np.arange(NB))
+    band_nspan = np.add.reduceat(span_i, bstart_runs)
+    cum_span_band = np.cumsum(band_nspan) - band_nspan  # before band, global
     pid_first_gband = np.searchsorted(gband_pid, np.arange(P))
-    k_of_band = nspan_before - nspan_before[pid_first_gband][gband_pid]
-    seg_of_band = 2 * k_of_band + span_i
-    segbound = int(seg_of_band.max()) + 1
+    base_pid = cum_span_band[pid_first_gband]  # before payload start
+    srank = np.cumsum(span_i) - span_i  # spanning runs before run, global
+    seg_of_run = np.where(
+        run_span,
+        2 * (srank - base_pid[run_pid]) + 1,
+        2 * (
+            cum_span_band[run_band] + band_nspan[run_band]
+            - base_pid[run_pid]
+        ),
+    )
+    segbound = int(seg_of_run.max()) + 1
     if (P * segbound + 1) * int(bigx) > 2 ** 62:
         # composite segment keys would overflow int64 — adversarial-scale
         # coords only; route through the tolerant per-row parser
         for i in pids:
             results[i] = extract_pdfish(payloads[i])
         return results
-    greg_of_band = gband_pid * segbound + seg_of_band
+    greg_of_run = run_pid * segbound + seg_of_run
 
     # ---- column clustering per (payload, segment): x-projection union with
     # gap threshold = COL_GAP_FACTOR * max reading extent (page-global). A
@@ -270,15 +286,9 @@ def extract_pdfish_many(payloads: Sequence[str]) -> List[Result]:
     grun_sorted = np.cumsum(bbrk) - 1        # run id, ascending in (band, x)
     grun = np.empty(G, dtype=np.int64)
     grun[bord] = grun_sorted                 # run id per glyph
-    run_first = np.flatnonzero(bbrk)
-    NR = run_first.size
-    run_start = bx[bord][run_first]
-    run_end = np.maximum.reduceat((bx + bw)[bord], run_first)
-    run_band = gband[bord][run_first]
-    run_greg = greg_of_band[run_band]
-    run_thresh = thresh_p[gband_pid[run_band]]
-    rkey = run_start + run_greg * bigx
-    rend = run_end + run_greg * bigx
+    run_thresh = thresh_p[run_pid]
+    rkey = run_x_lo + greg_of_run * bigx
+    rend = run_x_hi + greg_of_run * bigx
     ordr = np.argsort(rkey, kind="stable")
     rrun_end = np.maximum.accumulate(rend[ordr])
     brkc = np.empty(NR, dtype=bool)

@@ -22,10 +22,17 @@ emitted as its own full-width block at its vertical position; column
 clustering runs per REGION between spanning bands, so a spanning title can
 no longer glue two columns together (the r2 documented degraded mode). The
 reference handles the same geometry with per-component crops
-(ref: interpreter.py:133-171, :303-308). Remaining degraded mode: a
-spanning line whose band OVERLAPS a column line's band y-interval merges
-with it (≥2 runs → not spanning) — output stays deterministic and
-loss-free, only the reading order interleaves.
+(ref: interpreter.py:133-171, :303-308).
+
+r4: spanning detection is RUN-level, not band-level — a y-band is first
+segmented into x-runs (the column-gap rule), and any single run covering
+≥ 3/5 of the reading extent emits as its own full-width block even when the
+band also contains x-disjoint column lines (a title whose band OVERLAPS a
+column line's band — the r3 documented degraded mode). The band's
+non-spanning runs join the region BELOW the spanning block. A spanning run
+whose x-projection overlaps a column line in the same band still merges
+(they are one x-run — indistinguishable without glyph semantics); output
+stays deterministic and loss-free there.
 """
 
 from __future__ import annotations
@@ -199,21 +206,14 @@ def cluster_lines(
     return lines
 
 
-def _is_spanning(
-    members: List[Tuple[str, Glyph]], thresh: int, rdim: int
-) -> bool:
-    """A page-global band is a spanning block iff its glyphs form ONE x-run
-    (same gap rule as column clustering) covering ≥ SPAN_NUM/SPAN_DEN of
-    the reading-axis page extent. Two column lines sharing the band are ≥2
-    runs; a lone narrow line fails the extent test."""
-    xs = sorted((g[0], g[0] + g[2]) for _ch, g in members)
-    run_hi = None
-    for x, x_end in xs:
-        if run_hi is not None and x >= run_hi + thresh:
-            return False  # second x-run: normal multi-column content
-        run_hi = x_end if run_hi is None else max(run_hi, x_end)
-    extent = run_hi - xs[0][0]
-    return PDFISH_SPAN_DEN * extent >= PDFISH_SPAN_NUM * rdim
+def _run_is_spanning(run: List[Tuple[str, Glyph]], rdim: int) -> bool:
+    """A single x-run (already gap-split by cluster_columns) is a spanning
+    block iff it covers ≥ SPAN_NUM/SPAN_DEN of the reading-axis page
+    extent. A column line fails the extent test; two parallel column lines
+    are two runs and never reach here as one."""
+    lo = min(g[0] for _ch, g in run)
+    hi = max(g[0] + g[2] for _ch, g in run)
+    return PDFISH_SPAN_DEN * (hi - lo) >= PDFISH_SPAN_NUM * rdim
 
 
 def extract_pdfish(payload: str) -> Tuple[str, List[Span]]:
@@ -276,14 +276,25 @@ def extract_pdfish(payload: str) -> Tuple[str, List[Span]]:
     # batch twin's stable sorts see input order — zero-extent degenerate
     # glyphs (fuzz) make that tie order observable
     bands = cluster_lines(oriented)
-    span_bands: List[Tuple[int, int, List[Tuple[str, Glyph]]]] = []
+    span_bands: List[List[Tuple[str, Glyph]]] = []  # spanning runs, in order
     region_of = {}
-    for band_lo, band_hi, members in bands:
-        if _is_spanning(members, thresh, rdim):
-            span_bands.append((band_lo, band_hi, members))
-        else:
-            for _ch, g in members:
-                region_of[g[4]] = len(span_bands)
+    for _band_lo, _band_hi, members in bands:
+        # r4: classify per x-RUN, so a spanning title whose y-band overlaps
+        # a column line still emits as its own block; the band's
+        # non-spanning runs join the region BELOW it (len(span_bands) is
+        # taken AFTER appending this band's spanning runs). Spanning-run
+        # y-bounds are recomputed from the run's own glyphs — for a
+        # single-run band that equals the band bounds, so the r3 behavior
+        # is unchanged there.
+        runs = cluster_columns(members, thresh)
+        flags = [_run_is_spanning(run, rdim) for run in runs]
+        for run, fl in zip(runs, flags):
+            if fl:
+                span_bands.append(run)
+        for run, fl in zip(runs, flags):
+            if not fl:
+                for _ch, g in run:
+                    region_of[g[4]] = len(span_bands)
     regions: dict = {}
     for ch, g in oriented:
         r = region_of.get(g[4])
@@ -292,5 +303,11 @@ def extract_pdfish(payload: str) -> Tuple[str, List[Span]]:
     for r in range(len(span_bands) + 1):
         flush_region(regions.get(r, []))
         if r < len(span_bands):
-            emit_line(*span_bands[r])
+            # a spanning RUN (an x-run subset of a merged band) need not be
+            # a connected y-interval union — re-cluster it into sub-bands
+            # top-to-bottom, exactly as the batch twin's per-segment band
+            # stage does (degenerate zero-height glyphs make this
+            # observable; for real titles it is a single band)
+            for band_lo, band_hi, line in cluster_lines(span_bands[r]):
+                emit_line(band_lo, band_hi, line)
     return "\n".join(unit_texts), spans

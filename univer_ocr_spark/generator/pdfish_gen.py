@@ -90,28 +90,44 @@ def generate_pdfish(rng: Random) -> Tuple[str, str, List[Span], List[Block]]:
             g, _ = _lay_line(rng, 10, words_lo=2, words_hi=3, word_hi=6)
             glyphs.extend((ch, x, y, False, -1) for ch, x, y in g)
         unit = 0
+        overlap = False
         if rng.random() < 0.5:
-            # title band [85, 95): below the top-margin strip (center 90 is
-            # outside the top 10% of 792), above the body (y >= 120), one
-            # x-run whose extent >= 372 > ceil(3/5 * 612) — spanning by the
-            # integer rule, never splittable by the column gap test
+            # Non-overlap: title band [85, 95) — below the top-margin strip
+            # (center 90 is outside the top 10% of 792), above the body
+            # (y >= 120), one x-run whose extent >= 372 > ceil(3/5 * 612) —
+            # spanning by the integer rule, never splittable by the column
+            # gap test.
+            # Overlap variant (r4, ~40% of titled pages): title at y=100,
+            # so its band [100, 110) OVERLAPS column 2's first line band
+            # [108, 118) — the merged y-band holds a spanning run AND a
+            # column run, exercising run-level spanning detection (the r3
+            # degraded mode). Column 2 shifts to x=500 and its words cap at
+            # 4 chars so the title run (x_end <= 451 with 4-char title
+            # words) stays >= one column gap away from it.
+            overlap = rng.random() < 0.4
+            title_y, title_word_hi = (100, 4) if overlap else (85, 8)
             title_words: List[str] = []
             x = 40
             while x - 40 < 380:
-                w = word(rng, hi=8)
+                w = word(rng, hi=title_word_hi)
                 title_words.append(w)
                 for ch in w:
-                    glyphs.append((ch, x, 85, True, 0))
+                    glyphs.append((ch, x, title_y, True, 0))
                     x += GLYPH_W
                 x += GLYPH_W
             gold_lines.append(" ".join(title_words))
             unit = 1
-        for x0 in (40, COL2_X):
+        col_specs = (
+            ((40, Y_FIRST, 6), (500, 108, 4))
+            if overlap
+            else ((40, Y_FIRST, 6), (COL2_X, Y_FIRST, 6))
+        )
+        for x0, y0, whi in col_specs:
             n_lines = rng.randint(2, 4)
             for k in range(n_lines):
                 g, text = _lay_line(
-                    rng, Y_FIRST + LINE_PITCH * k, x0=x0,
-                    words_lo=2, words_hi=3, word_hi=6,
+                    rng, y0 + LINE_PITCH * k, x0=x0,
+                    words_lo=2, words_hi=3, word_hi=whi,
                 )
                 glyphs.extend((ch, x, y, True, unit) for ch, x, y in g)
                 gold_lines.append(text)

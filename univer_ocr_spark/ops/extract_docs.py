@@ -108,6 +108,43 @@ FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id
 """
 
 
+def extract_html_attr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote-aware tag scanning through the REAL extraction stage (r4): the
+    wrapper's tags carry ``>``/``<`` inside single- AND double-quoted
+    attribute values (inline JS handlers, arrow functions, comparisons —
+    the real-web payloads a naive ``[^>]*>`` tag regex mis-splits into
+    garbled text nodes). Expected = sanitized text in exactly one unit/one
+    span — a mis-split tag would leak attribute fragments as extra
+    spans/units, so the count columns pin the scanner, not just the text."""
+    d = _docs(spark, sf_dir)
+    payload = F.concat(
+        F.lit(
+            '<html><body>'
+            '<nav data-fn="(x) => x>0"><a href="/" onclick="go(1>0)">home</a></nav>'
+            "<p class=\"main\" data-cmp='a<b>c' onclick=\"if (n>1) f('q')\">"
+        ),
+        _sanitize(F.col("text")),
+        F.lit('</p><footer data-x="y>z">(c) example</footer></body></html>'),
+    )
+    wrapped = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", payload.alias("text")
+    )
+    out = extract_stage(wrapped)
+    return out.select(
+        "doc_id",
+        "extracted_text",
+        F.col("n_units").cast("long").alias("n_units"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+    ).orderBy("doc_id")
+
+
+EXTRACT_HTML_ATTR_SQL = f"""
+SELECT doc_id, {_SANITIZE_SQL} AS extracted_text,
+       CAST(1 AS BIGINT) AS n_units, CAST(1 AS BIGINT) AS n_spans
+FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id
+"""
+
+
 def extract_html_entities_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity roundtrip through the REAL extraction stage: specials are
     injected deterministically (a e o u i → & < > " ' — shipped doc text has
@@ -461,6 +498,104 @@ SELECT doc_id,
 FROM toks
 WHERE len(ts) <= {TITLE_MAX_WORDS}
   AND len(list_filter(ts, t -> length(t) > 32)) = 0
+ORDER BY doc_id
+"""
+
+
+# fixed overlap-variant title: ten 4-char words from x=40 -> extent
+# 10*40 - 8 = 392 px >= ceil(3/5 * 612) = 368 (spanning) with x_end = 432,
+# >= one column gap away from column 2 at x=500
+_OVERLAP_TITLE = ("plan", "data", "over", "view", "spec", "note",
+                  "task", "item", "word", "line")
+OVERLAP_MAX_WORDS = 28
+OVERLAP_MAX_WORD_LEN = 14  # col2 words must fit x=500..612
+
+
+def _pdfish_overlap_payload(doc_id: int, text: str) -> str:
+    """Spanning title whose y-band OVERLAPS column 2's first line band (the
+    r4 run-level spanning case): title at y=100 (band [100,110)), column 1
+    one-word lines at x=40, y=120+20k (disjoint from the title), column 2
+    at x=500, y=108+20k — its FIRST line's band [108,118) merges with the
+    title's into one y-band holding a spanning run and a column run.
+    Band-level spanning detection (r3) would see >= 2 x-runs, call the band
+    non-spanning, and interleave the title into the columns."""
+    words = _ws_tokens(text)
+    recs = []
+    x = 40
+    for w in _OVERLAP_TITLE:
+        for ch in w:
+            recs.append(f"g {ch} {x} 100 8 10")
+            x += 8
+        x += 8
+    for c0 in range(0, len(words), 14):
+        x0, y0 = (40, 120) if c0 == 0 else (500, 108)
+        for k, w in enumerate(words[c0 : c0 + 14]):
+            x = x0
+            y = y0 + 20 * k
+            for ch in w:
+                recs.append(f"g {ch} {x} {y} 8 10")
+                x += 8
+    Random(doc_id).shuffle(recs)
+    return "%PDFISH 612 792\n" + "\n".join(recs) + "\n"
+
+
+def extract_pdfish_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-band spanning title through the REAL extraction stage
+    (r4): expected flat text = the fixed title then the doc's words in
+    original order — correct ONLY if the spanning run is detected at run
+    level inside the merged band and its column co-tenants re-attach to the
+    region below; n_units = 1 + word count. Docs filtered to
+    <= OVERLAP_MAX_WORDS words of <= OVERLAP_MAX_WORD_LEN chars on both
+    engines so the geometry is fixed."""
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.trim(F.lower("text")), WS_CLASS + "+"),
+        lambda x: x != "",
+    )
+    d = d.filter(
+        (F.length(F.trim("text")) > 0)
+        & (F.size(toks) <= OVERLAP_MAX_WORDS)
+        & (F.size(F.filter(toks, lambda x: F.length(x) > OVERLAP_MAX_WORD_LEN)) == 0)
+    )
+
+    def wrap(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "text": [
+                        _pdfish_overlap_payload(int(i), t)
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    wrapped = d.mapInPandas(wrap, schema="doc_id long, text string")
+    out = extract_stage(wrapped)
+    return out.select(
+        "doc_id",
+        F.replace(F.col("extracted_text"), F.lit("\n"), F.lit(" ")).alias(
+            "extracted_flat"
+        ),
+        F.col("n_units").cast("long").alias("n_units"),
+    ).orderBy("doc_id")
+
+
+EXTRACT_PDFISH_OVERLAP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(lower(text)), '{WS_CLASS}+'),
+                     t -> t <> '') AS ts
+  FROM documents WHERE length(trim(text)) > 0)
+SELECT doc_id,
+       '{" ".join(_OVERLAP_TITLE)} ' || trim(regexp_replace(text, '{WS_CLASS}+', ' ', 'g'))
+         AS extracted_flat,
+       CAST(1 + len(ts) AS BIGINT) AS n_units
+FROM toks
+WHERE len(ts) <= {OVERLAP_MAX_WORDS}
+  AND len(list_filter(ts, t -> length(t) > {OVERLAP_MAX_WORD_LEN})) = 0
 ORDER BY doc_id
 """
 

@@ -150,15 +150,25 @@ def _iceberg_commit(out: DataFrame, table: str, bucket: int, n_rows: int) -> str
     read-back cannot observe another bucket's commit.
     """
     spark = out.sparkSession
+
+    def latest_snapshot() -> str:
+        snap = spark.sql(
+            f"SELECT snapshot_id FROM {table}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return str(snap[0][0]) if snap else ""
+
     if n_rows == 0:
+        # A DELETE matching no rows (the common first-run empty bucket)
+        # creates NO new snapshot on a real catalog — the read-back would
+        # cite the previous, unrelated commit as this bucket's lineage.
+        # Capture the latest id before, and record '' when it is unchanged.
+        before = latest_snapshot()
         spark.sql(f"DELETE FROM {table} WHERE bucket = {int(bucket)}")
-    else:
-        out.writeTo(table).overwritePartitions()
-    snap = spark.sql(
-        f"SELECT snapshot_id FROM {table}.snapshots "
-        "ORDER BY committed_at DESC LIMIT 1"
-    ).collect()
-    return str(snap[0][0]) if snap else ""
+        after = latest_snapshot()
+        return after if after != before else ""
+    out.writeTo(table).overwritePartitions()
+    return latest_snapshot()
 
 
 def run_with_manifest(
