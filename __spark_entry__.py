@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_verified_pairs": dedup.lsh_verified_pairs,
         "neardup_clusters": dedup.neardup_clusters,
         "simhash_signatures": dedup.simhash_signatures,
+        "simhash_signatures_w96": lambda spark, sf_dir: dedup.simhash_signatures_wide(spark, sf_dir, 96),
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         # similarity search
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
@@ -294,6 +295,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_verified_pairs": dedup.LSH_VERIFIED_PAIRS_SQL,
         "neardup_clusters": dedup.NEARDUP_CLUSTERS_SQL,
         "simhash_signatures": dedup.simhash_signatures_sql(),
+        "simhash_signatures_w96": dedup.simhash_signatures_wide_sql(96),
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs_sql(),
         "ann_bruteforce_topk": similarity.ANN_BRUTEFORCE_SQL,
         "ann_lsh_topk": similarity.ann_lsh_sql(),

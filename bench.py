@@ -245,6 +245,7 @@ def main() -> None:
         ("doc_fingerprint", textstats.doc_fingerprint),
         ("doc_top_terms", textstats.doc_top_terms),
         ("q17_small_qty_revenue", relational.q17_small_qty_revenue),
+        ("q_user_median", relational.q_user_median),
         ("dedup_exact", dedup.dedup_exact),
         ("minhash_lsh_pairs", dedup.minhash_lsh_pairs),
         ("ngram_jaccard_pairs", dedup.ngram_jaccard_pairs),
@@ -257,6 +258,7 @@ def main() -> None:
         ("extract_html_docs", extract_docs.extract_html_docs),
         ("extract_pdfish_docs", extract_docs.extract_pdfish_docs),
         ("extract_pdfish_columns_docs", extract_docs.extract_pdfish_columns_docs),
+        ("extract_pdfish_overlap_docs", extract_docs.extract_pdfish_overlap_docs),
     ]:
         bench(name, lambda fn=fn: fn(spark, SF_DIR).count())
 

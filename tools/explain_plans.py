@@ -75,7 +75,7 @@ def main() -> None:
     }
 
     preamble = """
-## Bucket cardinality as a function of corpus size (r3)
+## Bucket cardinality as a function of corpus size (r4)
 
 Every near-dup/ANN candidate join is an equi-join on a bucket key; the
 within-bucket work is quadratic in bucket occupancy, so key entropy is the
@@ -83,16 +83,18 @@ scale contract. Where each path stands at corpus size n:
 
 | path | bucket key | distinct keys | occupancy at n |
 |---|---|---|---|
-| minhash_lsh_pairs | md5 of 4 sigs per band | ~min(n, 2^128) (hash of signature) | ~1 per identical-signature group |
+| minhash_lsh_pairs | md5 of 2 sigs per band, 25 bands (r4: derived from JACCARD_THRESHOLD; r3's 2x4 had s*~0.84) | ~min(n, 2^128) (hash of signature pair) | ~1 per identical-pair group; candidate volume ~ n^2 * P(J) with P(0.025)~0.015 (r=1 was 0.18) |
 | simhash_neardup_pairs | 16-bit band value x 4 bands | 2^16 per band (r2: 2^8) | n / 65536 per band |
+| simhash_neardup_pairs_wide | 16-bit band value x (width/16) bands, width in {96,128} (r4, pytest-pinned) | 2^16 per band | n / 65536 per band, more bands = bigger Hamming budget |
 | ann_lsh_topk / embedding_cosine_neardup | sign pattern of b dims per band | 2^b, b = _sign_band_bits(n) in [8,16] | ~SIGN_BUCKET_TARGET by construction |
 | ann_ivf_topk | per-label centroid cell | label cardinality (fixed twin) | n / labels |
 | ann_ivf_scaled_topk | sign prefix, ceil(log2(sqrt(n))) bits | ~sqrt(n) | ~sqrt(n) |
 | exact dedup / streaming dedup | full content fingerprint (md5) | ~n | ~1 + duplicate multiplicity |
 
-Raising scale further: SimHash widens to 96/128-bit signatures (same
-half-wise arithmetic); sign-LSH raises SIGN_BAND_BITS_MAX with embedding
-dim; IVF tracks sqrt(n) automatically.
+Raising scale further: SimHash widens to 96/128-bit signatures
+(`simhash_*_wide`, tested at 96); sign-LSH raises SIGN_BAND_BITS_MAX with
+embedding dim; IVF tracks sqrt(n) automatically. Corpus counts for index
+sizing come from parquet footer metadata (`_corpus_count`), not scans.
 """
 
     out = [

@@ -736,6 +736,18 @@ def simhash_signatures_wide(
     return spark.sql(_simhash_select_wide(exprs))
 
 
+def simhash_signatures_wide_sql(width: int = 96) -> str:
+    """DuckDB twin of simhash_signatures_wide — same _simhash_select_wide
+    text over nibble-arithmetic halves, so the driver gate covers the wide
+    family end-to-end, not just pytest."""
+    n = width // _HALF
+    exprs = [_hex_int_sql_duckdb(1 + 8 * i, 8) for i in range(n)]
+    return (
+        f"WITH shingled AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),\n"
+        + _simhash_select_wide(exprs)[5:]  # strip 'WITH '
+    )
+
+
 def simhash_neardup_pairs_wide(
     spark: SparkSession, sf_dir: str, width: int = 96,
     hamming_max: int | None = None,
