@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_deterministic": textstats.doc_sample_deterministic,
         "doc_quality_filter": textstats.doc_quality_filter,
         "doc_top_terms": textstats.doc_top_terms,
+        "doc_pii_redact": textstats.doc_pii_redact,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "minhash_signatures": dedup.minhash_signatures,
@@ -288,6 +289,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample_deterministic": textstats.DOC_SAMPLE_SQL,
         "doc_quality_filter": textstats.doc_quality_filter_sql(),
         "doc_top_terms": textstats.DOC_TOP_TERMS_SQL,
+        "doc_pii_redact": textstats.DOC_PII_REDACT_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "minhash_signatures": dedup.minhash_signatures_sql(),
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs_sql(),

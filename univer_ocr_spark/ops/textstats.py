@@ -367,3 +367,55 @@ SELECT doc_id,
              ELSE 'kept' END) = 'kept' AS keep
 FROM scored ORDER BY doc_id
 """
+
+
+# ------------------------------------------------------- PII redaction ----
+# Pattern syntax restricted to [...], {m,n}, + — the subset where Java
+# regex (Spark) and RE2 (DuckDB's regexp_matches guard) agree exactly.
+PII_EMAIL_RE = r"[A-Za-z0-9_]+@[A-Za-z0-9.]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PII_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction stage a training-data pipeline runs
+    before anything else sees the text. By-construction check like the
+    entity queries: a deterministic PII tail (email, IPv4, phone derived
+    from doc_id) is appended to each doc, the REAL JVM-side
+    ``regexp_replace`` chain redacts, and the oracle states the expected
+    output exactly (original text + placeholder tail). Email redacts first
+    (its local part holds the only digits that could half-match the IP
+    pattern); docs whose own text matches any pattern are excluded
+    identically on both sides (none in shipped testdata — guards
+    regenerated data). Scale shape: pure narrow map, fused into the scan
+    by whole-stage codegen — zero shuffles."""
+    d = _docs(spark, sf_dir).filter(
+        (F.length(F.trim("text")) > 0)
+        & ~F.col("text").rlike(PII_EMAIL_RE)
+        & ~F.col("text").rlike(PII_IPV4_RE)
+        & ~F.col("text").rlike(PII_PHONE_RE)
+    )
+    tail = F.concat(
+        F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@mail.example.com from 10.1."),
+        (F.col("doc_id") % 200 + 1).cast("long"),
+        F.lit(".7 call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    payload = F.concat(F.col("text"), tail)
+    red = F.regexp_replace(payload, PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE_RE, "<PHONE>")
+    return d.select("doc_id", red.alias("redacted")).orderBy("doc_id")
+
+
+DOC_PII_REDACT_SQL = f"""
+SELECT doc_id,
+       text || ' contact <EMAIL> from <IP> call <PHONE>' AS redacted
+FROM documents
+WHERE length(trim(text)) > 0
+  AND NOT regexp_matches(text, '{PII_EMAIL_RE}')
+  AND NOT regexp_matches(text, '{PII_IPV4_RE}')
+  AND NOT regexp_matches(text, '{PII_PHONE_RE}')
+ORDER BY doc_id
+"""
