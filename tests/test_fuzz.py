@@ -60,6 +60,33 @@ _html_with_refs = st.lists(
 ).map(lambda ps: "<html><body><p>" + "".join(ps) + "</p></body></html>")
 
 
+# attribute-shaped fuzz (r4 quote-aware scanner): random tags whose
+# attribute regions mix quotes, '>', '=>' and UNTERMINATED quotes with text
+# nodes — never raise, spans always valid, reconstruct round-trips
+_attr_chunk = st.one_of(
+    st.text(alphabet="ab >='\"<xy/", max_size=10),
+    st.sampled_from(['"a>b"', "'c>d'", '"unclosed', "'unclosed", "=>", ">"]),
+)
+_html_with_attrs = st.lists(
+    st.one_of(
+        _attr_chunk.map(lambda a: f"<p {a}>"),
+        _attr_chunk.map(lambda a: f"<a href={a}>"),
+        st.sampled_from(["</p>", "</a>", "<br>", "<div>", "</div>"]),
+        st.text(alphabet="mn op", max_size=8),
+    ),
+    max_size=14,
+).map(lambda ps: "<html><body>" + "".join(ps) + "</body></html>")
+
+
+@settings(max_examples=300, deadline=None)
+@given(_html_with_attrs)
+def test_quoted_attribute_fuzz_roundtrip(payload):
+    text, spans, kind = extract_payload(payload)
+    validate_spans(payload, spans)
+    assert reconstruct(payload, spans,
+                       decode_html_entities=(kind == "html")) == text
+
+
 @settings(max_examples=300, deadline=None)
 @given(_html_with_refs)
 def test_entity_refs_fuzz_roundtrip(payload):
