@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": dedup.simhash_signatures,
         "simhash_signatures_w96": lambda spark, sf_dir: dedup.simhash_signatures_wide(spark, sf_dir, 96),
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
+        "simhash_neardup_pairs_w96": lambda spark, sf_dir: dedup.simhash_neardup_pairs_wide(spark, sf_dir, 96),
         # similarity search
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
@@ -299,6 +300,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": dedup.simhash_signatures_sql(),
         "simhash_signatures_w96": dedup.simhash_signatures_wide_sql(96),
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs_sql(),
+        "simhash_neardup_pairs_w96": dedup.simhash_neardup_pairs_wide_sql(96),
         "ann_bruteforce_topk": similarity.ANN_BRUTEFORCE_SQL,
         "ann_lsh_topk": similarity.ann_lsh_sql(),
         "ann_ivf_topk": similarity.ANN_IVF_SQL,

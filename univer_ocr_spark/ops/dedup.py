@@ -809,6 +809,44 @@ def simhash_neardup_pairs_wide(
     )
 
 
+def simhash_neardup_pairs_wide_sql(width: int = 96,
+                                   hamming_max: int | None = None) -> str:
+    """DuckDB twin of simhash_neardup_pairs_wide (same banding/budget
+    derivation), so the wide pairs path is driver-gated end-to-end."""
+    n = width // _HALF
+    n_bands = 2 * n
+    if hamming_max is None:
+        hamming_max = n_bands - 1
+    sim_cols = ", ".join(f"sim_{i}" for i in range(n))
+    band_rows = []
+    for i in range(n):
+        band_rows.append(
+            f"SELECT doc_id, {sim_cols}, {2 * i} AS band,"
+            f" sim_{i} % 65536 AS bv FROM sh"
+        )
+        band_rows.append(
+            f"SELECT doc_id, {sim_cols}, {2 * i + 1} AS band,"
+            f" CAST(FLOOR(sim_{i} / 65536) AS BIGINT) AS bv FROM sh"
+        )
+    bands = " UNION ALL ".join(band_rows)
+    exprs = [_hex_int_sql_duckdb(1 + 8 * i, 8) for i in range(n)]
+    inner = _simhash_select_wide(exprs).replace("ORDER BY doc_id", "")
+    ham = " + ".join(
+        f"bit_count(xor(a.sim_{i}, b.sim_{i}))" for i in range(n)
+    )
+    return (
+        f"WITH shingled AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),\n"
+        f"sh AS ({inner}),\n"
+        f"banded AS ({bands})\n"
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
+        f"       CAST({ham} AS BIGINT) AS hamming\n"
+        "FROM banded a JOIN banded b\n"
+        "  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id\n"
+        f"WHERE {ham} <= {hamming_max}\n"
+        "ORDER BY doc_a, doc_b"
+    )
+
+
 def simhash_neardup_pairs_sql() -> str:
     bands = " UNION ALL ".join(
         f"SELECT doc_id, sim_hi, sim_lo, {j} AS band, {expr} AS bv FROM sh"
