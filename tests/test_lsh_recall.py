@@ -37,6 +37,33 @@ def test_banding_derivation_tracks_threshold():
     assert dedup._derive_banding(0.9)[1] >= dedup._derive_banding(0.25)[1]
 
 
+def test_perm_expr_exact_vs_bigint():
+    """The Mersenne-identity evaluation of (h1 + k·h2) mod 2^61-1 must be
+    exact on signed-64 engines for every k the 256-permutation budget can
+    produce. Checked against Python big-int arithmetic in DuckDB (the
+    oracle engine; Spark evaluates the identical expression text)."""
+    import duckdb
+
+    from random import Random
+
+    rng = Random(7)
+    cases = [(2**60 - 1, 2**8 - 1, 2**52 - 1), (0, 0, 0), (1, 1, 1)] + [
+        (rng.randrange(2**60), rng.randrange(2**8), rng.randrange(2**52))
+        for _ in range(5)
+    ]
+    con = duckdb.connect()
+    ks = [0, 1, 7, 8, 63, 64, 127, 254, dedup.MINHASH_K - 1]
+    for h1, h2_hi, h2_lo in cases:
+        exprs = ", ".join(dedup._perm_expr(k) for k in ks)
+        got = con.execute(
+            f"SELECT {exprs} FROM (SELECT CAST({h1} AS BIGINT) h1,"
+            f" CAST({h2_hi} AS BIGINT) h2_hi, CAST({h2_lo} AS BIGINT) h2_lo)"
+        ).fetchone()
+        h2 = h2_hi * 2**52 + h2_lo
+        for k, g in zip(ks, got):
+            assert g == (h1 + k * h2) % dedup.MINHASH_PRIME, (k, h1, h2)
+
+
 N_PAIRS = 20
 
 
@@ -72,8 +99,9 @@ def test_planted_pair_recall_at_threshold_boundary(spark, planted_docs_dir):
         for r in dedup.minhash_lsh_pairs(spark, planted_docs_dir).collect()
     }
     recall = len(cand & planted) / N_PAIRS
-    # expected recall at J=0.31 with 8x1 banding: 1-(1-0.31)^8 ~ 0.95;
-    # the old 2x4 banding would find ~9% of these pairs
+    # expected recall at J=9/29~0.31 with the derived 85x3 banding:
+    # 1-(1-0.31^3)^85 ~ 0.92; the r3 hand-kept 2x4 banding would find ~9%
+    # of these pairs (1-(1-0.31^4)^2 ~ 0.018 per band group)
     assert recall >= 0.8, f"candidate recall {recall} below 0.8: {sorted(cand)}"
 
     # and the verified path keeps them (J ~ 0.31 >= 0.25) with exact scores

