@@ -215,7 +215,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_mode": textstats.doc_ngram_mode,
         "doc_sample_deterministic": textstats.doc_sample_deterministic,
         "doc_quality_filter": textstats.doc_quality_filter,
-        "doc_top_terms": textstats.doc_top_terms,
         "doc_pii_redact": textstats.doc_pii_redact,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
@@ -248,6 +247,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "extract_pdfish_columns_docs": _with_pkg(extract_docs.extract_pdfish_columns_docs),
             "extract_pdfish_title_docs": _with_pkg(extract_docs.extract_pdfish_title_docs),
             "extract_pdfish_overlap_docs": _with_pkg(extract_docs.extract_pdfish_overlap_docs),
+            # NEW r5: glyph-height split of a mixed-height spanning run
+            # (inside the first 50 per the rotation policy; doc_top_terms
+            # demoted to the tail to pay for the slot)
+            "extract_pdfish_heights_docs": _with_pkg(extract_docs.extract_pdfish_heights_docs),
             "extract_html_blocks_docs": _with_pkg(extract_docs.extract_html_blocks_docs),
         }
     )
@@ -266,6 +269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_acctbal_histogram": relational.q_acctbal_histogram,
             "q3_shipping_priority": relational.q3_shipping_priority,
             "q_supplier_extremes": relational.q_supplier_extremes,
+            "doc_top_terms": textstats.doc_top_terms,
         }
     )
     return qs
@@ -328,6 +332,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_pdfish_columns_docs": extract_docs.EXTRACT_PDFISH_COLUMNS_SQL,
         "extract_pdfish_title_docs": extract_docs.EXTRACT_PDFISH_TITLE_SQL,
         "extract_pdfish_overlap_docs": extract_docs.EXTRACT_PDFISH_OVERLAP_SQL,
+        "extract_pdfish_heights_docs": extract_docs.EXTRACT_PDFISH_HEIGHTS_SQL,
         "extract_html_blocks_docs": extract_docs.EXTRACT_HTML_BLOCKS_SQL,
         "extract_html_attr_docs": extract_docs.EXTRACT_HTML_ATTR_SQL,
         "extract_html_entities_docs": extract_docs.EXTRACT_HTML_ENTITIES_SQL,

@@ -202,15 +202,19 @@ def main() -> None:
     # runs until the improvement plateaus, then take the three timed runs;
     # on a warm VM the plateau hits after 2 settles (~4s overhead).
     if not ONLY or "transcripts_extract" in ONLY:
-        prev = None
+        best = None
         for _ in range(5):
             t0 = time.perf_counter()
             run_transcripts()
             dt = time.perf_counter() - t0
             log(f"settle: {dt:.3f}s")
-            if prev is not None and dt >= 0.88 * prev:
+            # plateau = within 12% of the best settle so far WITHOUT
+            # beating it; a run SLOWER than best (transient spike) must
+            # not end settling — it is not evidence the first-touch
+            # plateau was reached (r5 fix)
+            if best is not None and 0.88 * best <= dt <= best:
                 break
-            prev = dt
+            best = dt if best is None else min(best, dt)
     runs: list[float] = []
     for _ in range(3):
         bench("transcripts_extract", run_transcripts, n_runs=1)

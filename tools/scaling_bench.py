@@ -14,6 +14,14 @@ property of its noise window):
   fraction (sampled while this process is idle — the only signal that
   separates a noisy neighbor from our own just-finished burst): the leg
   waits for a ≤ BUSY_CLEAN window, up to a timeout;
+- r5: the gate ALSO requires a first-touch memory-bandwidth probe ≥
+  MEM_CLEAN_GBPS — the cold-microVM degraded state (lazily-backed guest
+  pages, measured 0.07 GB/s fill vs ~7 GB/s healthy) stalls every worker
+  while ext-busy reads 0.00, so the CPU gate alone admits garbage windows;
+- r5: a gate that times out still dirty is LOUDLY flagged: the sample is
+  recorded with ``gate_timeout: true``, excluded from best-of selection
+  while any clean sample exists for the leg, and surfaced in
+  BENCH/BASELINE.md (the r4 gate silently admitted such legs);
 - leg order alternates between repetitions (low,high / high,low) so slow
   host drift cannot systematically favor one leg;
 - the WHOLE measurement runs twice; BENCH/BASELINE.md reports both
@@ -34,7 +42,8 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BUSY_CLEAN = 0.05   # external CPU busy fraction considered a clean window
-GATE_TIMEOUT = 180  # max seconds to wait for a clean window per leg
+MEM_CLEAN_GBPS = 1.0  # first-touch fill below this = degraded page backing
+GATE_TIMEOUT = 300  # max seconds to wait for a clean window per leg
 
 
 def external_busy(window: float = 0.5) -> float:
@@ -52,17 +61,52 @@ def external_busy(window: float = 0.5) -> float:
     return 1.0 - (i1 - i0) / max(t1 - t0, 1)
 
 
-def wait_clean() -> float:
-    """Block until the host shows a clean window (ext-busy ≤ BUSY_CLEAN);
-    returns the gate's last reading (recorded even on timeout)."""
+def first_touch_gbps(mb: int = 256) -> float:
+    """GB/s filling a FRESH anonymous mapping (first-touch faults included).
+    Healthy host: several GB/s. Cold Firecracker microVM with lazily-backed
+    guest pages: as low as 0.07 GB/s while ext-busy reads 0.00 — the r4
+    degraded signature the CPU gate cannot see (memory file
+    cold-microvm-first-touch). Large NumPy allocations mmap fresh pages, so
+    repeated probes keep measuring first-touch, not a warmed buffer."""
+    import numpy as np
+
+    n = mb * 2**20 // 8
+    t0 = time.perf_counter()
+    a = np.empty(n, dtype=np.int64)
+    a.fill(1)
+    dt = time.perf_counter() - t0
+    del a
+    return (mb / 1024.0) / max(dt, 1e-9)
+
+
+def wait_clean() -> tuple[float, float, bool]:
+    """Block until the host shows a clean window: ext-busy ≤ BUSY_CLEAN AND
+    first-touch fill ≥ MEM_CLEAN_GBPS. Returns (busy, mem_gbps, timed_out);
+    on timeout the last readings are returned and timed_out is True — the
+    caller must flag the sample, not silently admit it."""
     t0 = time.time()
-    busy = external_busy()
-    while busy > BUSY_CLEAN and time.time() - t0 < GATE_TIMEOUT:
-        print(f"  gate: ext-busy {busy:.2f} > {BUSY_CLEAN}, waiting...",
-              file=sys.stderr)
+    busy, mem = external_busy(), 0.0
+    while True:
+        if busy <= BUSY_CLEAN:
+            mem = first_touch_gbps()
+            if mem >= MEM_CLEAN_GBPS:
+                return busy, mem, False
+        if time.time() - t0 >= GATE_TIMEOUT:
+            print(
+                f"  *** GATE TIMEOUT after {GATE_TIMEOUT}s: ext-busy "
+                f"{busy:.2f} (bar {BUSY_CLEAN}), first-touch {mem:.2f} GB/s "
+                f"(bar {MEM_CLEAN_GBPS}) — leg runs DIRTY and is flagged",
+                file=sys.stderr,
+            )
+            return busy, mem, True
+        why = (
+            f"ext-busy {busy:.2f} > {BUSY_CLEAN}"
+            if busy > BUSY_CLEAN
+            else f"first-touch {mem:.2f} GB/s < {MEM_CLEAN_GBPS}"
+        )
+        print(f"  gate: {why}, waiting...", file=sys.stderr)
         time.sleep(5)
         busy = external_busy()
-    return busy
 
 
 def run_bench(cpus: int, turns: int) -> dict:
@@ -87,17 +131,26 @@ def measure_once(n_low: int, n_high: int, turns: int, reps: int) -> dict:
     for rep in range(reps):
         order = (n_low, n_high) if rep % 2 == 0 else (n_high, n_low)
         for cpus in order:
-            gate_busy = wait_clean()
+            gate_busy, gate_mem, gate_to = wait_clean()
             r = run_bench(cpus, turns)
             r["gate_busy"] = round(gate_busy, 3)
+            r["gate_mem_gbps"] = round(gate_mem, 2)
+            r["gate_timeout"] = gate_to
             samples[cpus].append(r)
             print(
                 f"  local[{cpus}] rep{rep}: {r['queries']['transcripts_extract']}s"
                 f" = {r['turns_per_sec']} turns/s (gate {gate_busy:.2f},"
+                f" mem {gate_mem:.2f} GB/s,"
+                f"{' DIRTY,' if gate_to else ''}"
                 f" run ext-busy {r['loadavg']['transcripts_extract'][0]})",
                 file=sys.stderr,
             )
-    best = {c: max(rs, key=lambda r: r["turns_per_sec"]) for c, rs in samples.items()}
+    # dirty (gate-timeout) samples never beat a clean one; a leg with ONLY
+    # dirty samples stays in the report but carries the flag
+    best = {
+        c: max(rs, key=lambda r: (not r["gate_timeout"], r["turns_per_sec"]))
+        for c, rs in samples.items()
+    }
     eff = (best[n_high]["turns_per_sec"] / best[n_low]["turns_per_sec"]) / (
         n_high / n_low
     )
@@ -108,7 +161,7 @@ def main() -> None:
     n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     n_high = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     turns = int(sys.argv[3]) if len(sys.argv) > 3 else 2_000_000
-    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 
     print(f"warm-up generation pass (shared input, {turns} turns)...",
           file=sys.stderr)
@@ -130,6 +183,8 @@ def main() -> None:
                 f"{' (N)' if cpus == n_low else f' ({ratio:.0f}N)'} "
                 f"| {b['queries']['transcripts_extract']} | {b['turns_per_sec']}"
                 f" | {b['loadavg']['transcripts_extract'][0]} | {b['gate_busy']}"
+                f" | {b.get('gate_mem_gbps', '—')}"
+                f"{' **DIRTY**' if b.get('gate_timeout') else ''}"
                 f" | {b['queries'].get('transcripts_conv_stats')} |"
             )
     table = "\n".join(rows)
@@ -146,16 +201,20 @@ executors. Evidenced in-sandbox as the same extraction job (same input
 parquet, {turns} transcript turns incl. one salted mega-conversation) at
 `local[{n_low}]` vs `local[{n_high}]` on one host.
 
-Protocol (r4, reproducibility-hardened — see tools/scaling_bench.py):
+Protocol (r5, reproducibility-hardened — see tools/scaling_bench.py):
 each leg = best of {reps} independent bench.py subprocesses (each itself
 best-of-3 with per-run external-busy retry), every leg gated on a
-/proc/stat external-busy <= {BUSY_CLEAN} window, leg order alternated, and
-the WHOLE measurement repeated twice. "ext-busy" below is the external CPU
-busy fraction at the best run's start (0.00 = no noisy neighbor); "gate"
-is the reading that admitted the leg.
+/proc/stat external-busy <= {BUSY_CLEAN} window AND a first-touch
+memory-bandwidth probe >= {MEM_CLEAN_GBPS} GB/s (rejects the cold-microVM
+lazily-backed-pages state that degraded r3/r4 readings while ext-busy read
+0.00), leg order alternated, and the WHOLE measurement repeated twice.
+"ext-busy" below is the external CPU busy fraction at the best run's start
+(0.00 = no noisy neighbor); "gate" / "gate-mem" are the readings that
+admitted the leg; a leg whose gate timed out still dirty is marked
+**DIRTY** and was excluded from best-of while any clean sample existed.
 
-| run | parallelism | extract wall (s) | turns/sec | ext-busy | gate | conv_stats wall (s) |
-|---|---|---|---|---|---|---|
+| run | parallelism | extract wall (s) | turns/sec | ext-busy | gate | gate-mem (GB/s) | conv_stats wall (s) |
+|---|---|---|---|---|---|---|---|
 {table}
 
 **Scaling efficiency (N -> {ratio:.0f}N): run 1 = {runs[0]['efficiency']},

@@ -26,8 +26,13 @@ stay verbatim.
 Tag scanning is quote-aware (r4): a ``>`` inside a single- or double-quoted
 attribute value (inline JS handlers, data-URIs, ``=>`` arrow functions —
 constant in real-web HTML) does NOT terminate the tag, matching the HTML5
-tokenizer's attribute-value states. An UNTERMINATED quote makes the ``<``
-unmatchable as a tag, so it falls through as text — tolerated, never fatal.
+tokenizer's attribute-value states. An unterminated quote has two degraded
+outcomes, both HTML5-consistent and never fatal: with no later matching
+quote in the payload the ``<`` is unmatchable as a tag and falls through
+as text; when a LATER matching quote exists, the attribute value consumes
+everything up to it — including intervening ``>`` and text nodes — exactly
+as the HTML5 attribute-value state would (that swallowed text is attribute
+value, not document text).
 """
 
 from __future__ import annotations

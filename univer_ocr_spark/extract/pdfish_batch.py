@@ -243,6 +243,51 @@ def extract_pdfish_many(payloads: Sequence[str]) -> List[Result]:
     run_span = PDFISH_SPAN_DEN * (run_x_hi - run_x_lo) >= (
         PDFISH_SPAN_NUM * rdim_p[run_pid]
     )
+    grun_sorted = np.cumsum(bbrk) - 1        # run id, ascending in (band, x)
+    grun = np.empty(G, dtype=np.int64)
+    grun[bord] = grun_sorted                 # run id per glyph
+
+    # ---- r5 glyph-height split (mirrors _height_split in the slow path):
+    # a spanning-sized run with MIXED heights (title and column line in the
+    # SAME x-run) splits at the height midpoint (2·ht > max+min). The tall
+    # subset is promoted to the spanning block only if it alone passes the
+    # extent test AND stays a single x-run under the page gap rule; the
+    # short glyphs demote to the band's region below.
+    run_bh_lo = np.minimum.reduceat(bh[bord], run_first)
+    run_bh_hi = np.maximum.reduceat(bh[bord], run_first)
+    mixed = run_span & (run_bh_lo != run_bh_hi)
+    run_split = np.zeros(NR, dtype=bool)
+    tall_g = np.zeros(G, dtype=bool)
+    if mixed.any():
+        tall_g = mixed[grun] & (2 * bh > (run_bh_lo + run_bh_hi)[grun])
+        tall_lo = np.full(NR, np.iinfo(np.int64).max, dtype=np.int64)
+        tall_hi = np.full(NR, np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(tall_lo, grun[tall_g], bx[tall_g])
+        np.maximum.at(tall_hi, grun[tall_g], (bx + bw)[tall_g])
+        # mixed runs always have ≥1 tall glyph (the max-height one)
+        tall_spans = mixed & (
+            PDFISH_SPAN_DEN * (tall_hi - tall_lo)
+            >= PDFISH_SPAN_NUM * rdim_p[run_pid]
+        )
+        # single-x-run check for the tall subset: walk tall glyphs in
+        # (run, x) order, break where x ≥ running-max-end + thresh (the
+        # same gap rule; segmented cummax via the run-offset trick — ends
+        # stay < bigx, so higher runs always dominate the running max)
+        tb = tall_g[bord]
+        it = bord[tb]
+        tr = grun[it]
+        te = (bx + bw)[it] + tr * bigx
+        ce = np.maximum.accumulate(te) - tr * bigx
+        brk_t = np.zeros(it.size, dtype=bool)
+        if it.size > 1:
+            same_run = tr[1:] == tr[:-1]
+            brk_t[1:] = same_run & (
+                bx[it][1:] >= ce[:-1] + thresh_g[it][1:]
+            )
+        disc = np.zeros(NR, dtype=bool)
+        np.logical_or.at(disc, tr[brk_t], True)
+        run_split = tall_spans & ~disc
+        tall_g &= run_split[grun]
 
     # segment per RUN: the payload's k-th spanning run -> seg 2k+1; a
     # non-spanning run sits in the region AFTER all spanning runs of its
@@ -257,15 +302,21 @@ def extract_pdfish_many(payloads: Sequence[str]) -> List[Result]:
     pid_first_gband = np.searchsorted(gband_pid, np.arange(P))
     base_pid = cum_span_band[pid_first_gband]  # before payload start
     srank = np.cumsum(span_i) - span_i  # spanning runs before run, global
-    seg_of_run = np.where(
-        run_span,
-        2 * (srank - base_pid[run_pid]) + 1,
-        2 * (
-            cum_span_band[run_band] + band_nspan[run_band]
-            - base_pid[run_pid]
-        ),
+    region_seg_of_run = 2 * (
+        cum_span_band[run_band] + band_nspan[run_band] - base_pid[run_pid]
     )
-    segbound = int(seg_of_run.max()) + 1
+    seg_of_run = np.where(
+        run_span, 2 * (srank - base_pid[run_pid]) + 1, region_seg_of_run
+    )
+    # per-GLYPH segment: short glyphs of height-split runs demote to their
+    # band's region segment (a split run keeps its spanning seg for the
+    # tall subset, so the span ranks/counts above are unchanged)
+    seg_g = seg_of_run[grun]
+    split_any = bool(run_split.any())
+    if split_any:
+        demote_g = run_split[grun] & ~tall_g
+        seg_g = np.where(demote_g, region_seg_of_run[grun], seg_g)
+    segbound = int(seg_g.max()) + 1
     if (P * segbound + 1) * int(bigx) > 2 ** 62:
         # composite segment keys would overflow int64 — adversarial-scale
         # coords only; route through the tolerant per-row parser
@@ -276,28 +327,45 @@ def extract_pdfish_many(payloads: Sequence[str]) -> List[Result]:
 
     # ---- column clustering per (payload, segment): x-projection union with
     # gap threshold = COL_GAP_FACTOR * max reading extent (page-global). A
-    # spanning segment is one x-run by construction -> exactly one column,
-    # so the shared pipeline below handles both segment kinds uniformly.
-    # Computed at RUN granularity, not glyph granularity: each band x-run is
-    # a contiguous x-interval whose internal gaps are < thresh (by run
-    # construction), and interval-union connectivity is associative, so the
-    # union of runs equals the union of their glyphs — one small sort over
-    # ~#lines runs instead of a G-length sort (measured section win)
-    grun_sorted = np.cumsum(bbrk) - 1        # run id, ascending in (band, x)
-    grun = np.empty(G, dtype=np.int64)
-    grun[bord] = grun_sorted                 # run id per glyph
-    run_thresh = thresh_p[run_pid]
-    rkey = run_x_lo + greg_of_run * bigx
-    rend = run_x_hi + greg_of_run * bigx
-    ordr = np.argsort(rkey, kind="stable")
-    rrun_end = np.maximum.accumulate(rend[ordr])
-    brkc = np.empty(NR, dtype=bool)
-    brkc[0] = True
-    brkc[1:] = rkey[ordr][1:] >= rrun_end[:-1] + run_thresh[ordr][1:]
-    col_sorted = np.cumsum(brkc) - 1
-    col_run = np.empty(NR, dtype=np.int64)
-    col_run[ordr] = col_sorted
-    col = col_run[grun]  # global column id, ascending in (pid, seg, x)
+    # spanning segment is one x-run by construction (height-split promotion
+    # requires it too) -> exactly one column, so the shared pipeline below
+    # handles both segment kinds uniformly.
+    if split_any:
+        # a height-split run's SHORT remainder need not be a contiguous
+        # x-interval (the tall glyphs it lost may have bridged gaps), so
+        # run granularity is unsound for this batch: cluster at GLYPH
+        # granularity, exactly the slow path's cluster_columns (rare —
+        # only batches containing mixed-height spanning runs pay the
+        # G-length sort)
+        greg_g = pid * segbound + seg_g
+        gxkey = bx + greg_g * bigx
+        gxend = bx + bw + greg_g * bigx
+        ordc = np.argsort(gxkey, kind="stable")
+        cend = np.maximum.accumulate(gxend[ordc])
+        brkc = np.empty(G, dtype=bool)
+        brkc[0] = True
+        brkc[1:] = gxkey[ordc][1:] >= cend[:-1] + thresh_g[ordc][1:]
+        col_sorted = np.cumsum(brkc) - 1
+        col = np.empty(G, dtype=np.int64)
+        col[ordc] = col_sorted  # global column id, ascending in (pid, seg, x)
+    else:
+        # run granularity: each band x-run is a contiguous x-interval whose
+        # internal gaps are < thresh (by run construction), and
+        # interval-union connectivity is associative, so the union of runs
+        # equals the union of their glyphs — one small sort over ~#lines
+        # runs instead of a G-length sort (measured section win)
+        run_thresh = thresh_p[run_pid]
+        rkey = run_x_lo + greg_of_run * bigx
+        rend = run_x_hi + greg_of_run * bigx
+        ordr = np.argsort(rkey, kind="stable")
+        rrun_end = np.maximum.accumulate(rend[ordr])
+        brkc = np.empty(NR, dtype=bool)
+        brkc[0] = True
+        brkc[1:] = rkey[ordr][1:] >= rrun_end[:-1] + run_thresh[ordr][1:]
+        col_sorted = np.cumsum(brkc) - 1
+        col_run = np.empty(NR, dtype=np.int64)
+        col_run[ordr] = col_sorted
+        col = col_run[grun]  # global column id, ascending in (pid, seg, x)
 
     # ---- y-interval band clustering per column (col id is globally unique)
     ykey = by + col * bigy

@@ -29,10 +29,16 @@ segmented into x-runs (the column-gap rule), and any single run covering
 ≥ 3/5 of the reading extent emits as its own full-width block even when the
 band also contains x-disjoint column lines (a title whose band OVERLAPS a
 column line's band — the r3 documented degraded mode). The band's
-non-spanning runs join the region BELOW the spanning block. A spanning run
-whose x-projection overlaps a column line in the same band still merges
-(they are one x-run — indistinguishable without glyph semantics); output
-stays deterministic and loss-free there.
+non-spanning runs join the region BELOW the spanning block.
+
+r5: a spanning run whose x-projection overlaps a column line in the SAME
+x-run (the r4 documented degraded mode) is separated by GLYPH HEIGHT:
+titles are set larger than body text, so a mixed-height spanning-sized run
+splits at the height midpoint — the tall subset emits as the spanning
+block (if it alone still spans and stays one x-run), the short glyphs
+re-attach to the region below (_height_split). A mixed run whose tall
+subset fails those conditions keeps the r4 whole-run behavior, so output
+stays deterministic and loss-free in every case.
 """
 
 from __future__ import annotations
@@ -216,6 +222,43 @@ def _run_is_spanning(run: List[Tuple[str, Glyph]], rdim: int) -> bool:
     return PDFISH_SPAN_DEN * (hi - lo) >= PDFISH_SPAN_NUM * rdim
 
 
+def _height_split(
+    run: List[Tuple[str, Glyph]], thresh: int, rdim: int
+) -> Tuple[List[Tuple[str, Glyph]], List[Tuple[str, Glyph]]] | None:
+    """Split a spanning-sized mixed-height x-run into (tall, short), or
+    None when the run should stay whole.
+
+    The r4 degraded mode: a full-width TITLE whose y-band overlaps a column
+    line AND whose x-projection touches that line forms ONE x-run — extent
+    alone cannot separate them. Glyph height can (r5): titles are set
+    larger than body text, so partition the run at the height midpoint
+    (2·ht > max+min, integer-exact; both classes are nonempty whenever two
+    heights exist). The TALL subset is promoted to a spanning block only
+    if it (a) still passes the extent test by itself and (b) remains a
+    single x-run under the page's column-gap rule — dropping the short
+    glyphs must not tear the title into gap-separated fragments, and the
+    single-run invariant is what lets the batch twin treat every spanning
+    segment as one column. The short glyphs re-attach to the region below,
+    where column clustering re-segments them by the normal gap rule.
+    Reference analog: per-component 2-D crops separate title from column
+    line (ref: interpreter.py:133-171, :303-308)."""
+    m = H = run[0][1][3]
+    for _ch, g in run[1:]:
+        ht = g[3]
+        if ht < m:
+            m = ht
+        elif ht > H:
+            H = ht
+    if m == H:
+        return None
+    pivot = H + m
+    tall = [(ch, g) for ch, g in run if 2 * g[3] > pivot]
+    if not _run_is_spanning(tall, rdim) or len(cluster_columns(tall, thresh)) != 1:
+        return None
+    short = [(ch, g) for ch, g in run if 2 * g[3] <= pivot]
+    return tall, short
+
+
 def extract_pdfish(payload: str) -> Tuple[str, List[Span]]:
     """Return (extracted_text, spans).
 
@@ -286,15 +329,26 @@ def extract_pdfish(payload: str) -> Tuple[str, List[Span]]:
         # y-bounds are recomputed from the run's own glyphs — for a
         # single-run band that equals the band bounds, so the r3 behavior
         # is unchanged there.
+        # r5: a spanning-sized run with MIXED glyph heights (title and
+        # column line in the SAME x-run — the r4 documented degraded mode)
+        # splits at the height midpoint: the tall subset emits as the
+        # spanning block, the short glyphs demote to the region below
+        # (_height_split for the promotion conditions).
         runs = cluster_columns(members, thresh)
-        flags = [_run_is_spanning(run, rdim) for run in runs]
-        for run, fl in zip(runs, flags):
-            if fl:
-                span_bands.append(run)
-        for run, fl in zip(runs, flags):
-            if not fl:
-                for _ch, g in run:
-                    region_of[g[4]] = len(span_bands)
+        demoted: List[Tuple[str, Glyph]] = []
+        for run in runs:
+            if _run_is_spanning(run, rdim):
+                split = _height_split(run, thresh, rdim)
+                if split is not None:
+                    tall, short = split
+                    span_bands.append(tall)
+                    demoted.extend(short)
+                else:
+                    span_bands.append(run)
+            else:
+                demoted.extend(run)
+        for _ch, g in demoted:
+            region_of[g[4]] = len(span_bands)
     regions: dict = {}
     for ch, g in oriented:
         r = region_of.get(g[4])

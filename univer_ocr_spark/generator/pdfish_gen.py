@@ -28,6 +28,9 @@ PAGE_W = 612
 PAGE_H = 792
 GLYPH_W = 8
 GLYPH_H = 10
+TITLE_H = 16  # merged-overlap titles are SET LARGER than body glyphs: the
+# height gap is what lets the extractor split a title sharing ONE x-run
+# with a column line (2·ht > max+min with 16/10 → title class)
 LINE_PITCH = 20  # > GLYPH_H → bands disjoint
 Y_FIRST = 120
 # two-column geometry: column 1 starts at x=40; narrow lines (≤3 short
@@ -76,8 +79,8 @@ def generate_pdfish(rng: Random) -> Tuple[str, str, List[Span], List[Block]]:
     """
     two_col = rng.random() < 0.25
 
-    # (ch, x, y, is_main, unit)
-    glyphs: List[Tuple[str, int, int, bool, int]] = []
+    # (ch, x, y, ht, is_main, unit)
+    glyphs: List[Tuple[str, int, int, int, bool, int]] = []
     gold_lines: List[str] = []
 
     if two_col:
@@ -88,9 +91,9 @@ def generate_pdfish(rng: Random) -> Tuple[str, str, List[Span], List[Block]]:
         # the title glues both columns into one and garbles reading order)
         if rng.random() < 0.5:
             g, _ = _lay_line(rng, 10, words_lo=2, words_hi=3, word_hi=6)
-            glyphs.extend((ch, x, y, False, -1) for ch, x, y in g)
+            glyphs.extend((ch, x, y, GLYPH_H, False, -1) for ch, x, y in g)
         unit = 0
-        overlap = False
+        overlap = merged = False
         if rng.random() < 0.5:
             # Non-overlap: title band [85, 95) — below the top-margin strip
             # (center 90 is outside the top 10% of 792), above the body
@@ -104,24 +107,33 @@ def generate_pdfish(rng: Random) -> Tuple[str, str, List[Span], List[Block]]:
             # degraded mode). Column 2 shifts to x=500 and its words cap at
             # 4 chars so the title run (x_end <= 451 with 4-char title
             # words) stays >= one column gap away from it.
-            overlap = rng.random() < 0.4
-            title_y, title_word_hi = (100, 4) if overlap else (85, 8)
+            # Merged variant (r5, next 20% of titled pages): TALL title
+            # (TITLE_H) at y=100 AND column 1 moved up to y=108 at the
+            # title's own x-origin — title and column-1 line 1 share both
+            # the merged y-band [100, 118) and ONE x-run, so only the
+            # glyph-height split separates them (the r4 degraded mode);
+            # column 2 at x=500 co-tenants the band as an x-disjoint run.
+            r = rng.random()
+            overlap, merged = r < 0.4, 0.4 <= r < 0.6
+            title_y, title_word_hi = (100, 4) if (overlap or merged) else (85, 8)
+            title_ht = TITLE_H if merged else GLYPH_H
             title_words: List[str] = []
             x = 40
             while x - 40 < 380:
                 w = word(rng, hi=title_word_hi)
                 title_words.append(w)
                 for ch in w:
-                    glyphs.append((ch, x, title_y, True, 0))
+                    glyphs.append((ch, x, title_y, title_ht, True, 0))
                     x += GLYPH_W
                 x += GLYPH_W
             gold_lines.append(" ".join(title_words))
             unit = 1
-        col_specs = (
-            ((40, Y_FIRST, 6), (500, 108, 4))
-            if overlap
-            else ((40, Y_FIRST, 6), (COL2_X, Y_FIRST, 6))
-        )
+        if overlap:
+            col_specs = ((40, Y_FIRST, 6), (500, 108, 4))
+        elif merged:
+            col_specs = ((40, 108, 4), (500, 108, 4))
+        else:
+            col_specs = ((40, Y_FIRST, 6), (COL2_X, Y_FIRST, 6))
         for x0, y0, whi in col_specs:
             n_lines = rng.randint(2, 4)
             for k in range(n_lines):
@@ -129,24 +141,24 @@ def generate_pdfish(rng: Random) -> Tuple[str, str, List[Span], List[Block]]:
                     rng, y0 + LINE_PITCH * k, x0=x0,
                     words_lo=2, words_hi=3, word_hi=whi,
                 )
-                glyphs.extend((ch, x, y, True, unit) for ch, x, y in g)
+                glyphs.extend((ch, x, y, GLYPH_H, True, unit) for ch, x, y in g)
                 gold_lines.append(text)
                 unit += 1
         if rng.random() < 0.5:
             g, _ = _lay_line(rng, 770, words_lo=2, words_hi=3, word_hi=6)
-            glyphs.extend((ch, x, y, False, -2) for ch, x, y in g)
+            glyphs.extend((ch, x, y, GLYPH_H, False, -2) for ch, x, y in g)
     else:
         if rng.random() < 0.5:  # header run (top 10% band → boilerplate)
             g, _ = _lay_line(rng, 10)
-            glyphs.extend((ch, x, y, False, -1) for ch, x, y in g)
+            glyphs.extend((ch, x, y, GLYPH_H, False, -1) for ch, x, y in g)
         n_lines = rng.randint(2, 7)
         for k in range(n_lines):
             g, text = _lay_line(rng, Y_FIRST + LINE_PITCH * k)
-            glyphs.extend((ch, x, y, True, k) for ch, x, y in g)
+            glyphs.extend((ch, x, y, GLYPH_H, True, k) for ch, x, y in g)
             gold_lines.append(text)
         if rng.random() < 0.5:  # footer run (bottom 10% band → boilerplate)
             g, _ = _lay_line(rng, 770)
-            glyphs.extend((ch, x, y, False, -2) for ch, x, y in g)
+            glyphs.extend((ch, x, y, GLYPH_H, False, -2) for ch, x, y in g)
 
     order = list(range(len(glyphs)))
     rng.shuffle(order)
@@ -163,8 +175,8 @@ def generate_pdfish(rng: Random) -> Tuple[str, str, List[Span], List[Block]]:
     main_offsets: List[Tuple[int, int, int]] = []
     line_extent: dict = {}  # unit -> [min_off, max_off]
     for gi in order:
-        ch, x, y, is_main, unit = glyphs[gi]
-        sx, sy, sw, sh = _rotate_box(orient, x, y, GLYPH_W, GLYPH_H)
+        ch, x, y, ht, is_main, unit = glyphs[gi]
+        sx, sy, sw, sh = _rotate_box(orient, x, y, GLYPH_W, ht)
         rec = f"g {ch} {sx} {sy} {sw} {sh}\n"
         off = pos + 2  # offset of <ch> inside the record
         parts.append(rec)

@@ -600,6 +600,108 @@ ORDER BY doc_id
 """
 
 
+# fixed merged-variant title: ten 4-char TALL (ht=16) words from x=40 ->
+# extent 392 >= ceil(3/5 * 612) = 368 (spanning), x_end = 432 >= one column
+# gap (32) away from column 2 at x=500
+_HEIGHTS_TITLE = ("head", "body", "text", "page", "band", "rule",
+                  "glyp", "mark", "span", "unit")
+HEIGHTS_MAX_WORDS = 28
+HEIGHTS_MAX_WORD_LEN = 14  # column words must fit their 112-px slots
+
+
+def _pdfish_heights_payload(doc_id: int, text: str) -> str:
+    """Spanning TALL title (ht=16) sharing ONE x-run with column 1's first
+    line (the r5 glyph-height-split case): title at y=100 (band [100,116)),
+    column 1 one-word lines at x=40 STARTING AT y=108 — its first line's
+    band [108,118) merges with the title's y-band AND its x-projection
+    starts at the title's own x-origin, so extent- and run-level detection
+    both see one spanning run; only the height midpoint split (title ht=16
+    vs body ht=10) separates them. Column 2 sits at x=500, y=120. A
+    height-blind reader would interleave the title with column 1's first
+    line, glyph by glyph, in x order."""
+    words = _ws_tokens(text)
+    recs = []
+    x = 40
+    for w in _HEIGHTS_TITLE:
+        for ch in w:
+            recs.append(f"g {ch} {x} 100 8 16")
+            x += 8
+        x += 8
+    for c0 in range(0, len(words), 14):
+        x0, y0 = (40, 108) if c0 == 0 else (500, 120)
+        for k, w in enumerate(words[c0 : c0 + 14]):
+            x = x0
+            y = y0 + 20 * k
+            for ch in w:
+                recs.append(f"g {ch} {x} {y} 8 10")
+                x += 8
+    Random(doc_id).shuffle(recs)
+    return "%PDFISH 612 792\n" + "\n".join(recs) + "\n"
+
+
+def extract_pdfish_heights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glyph-height split through the REAL extraction stage (r5): expected
+    flat text = the fixed TALL title then the doc's words in original order
+    — correct ONLY if the mixed-height spanning run is split at the height
+    midpoint, the tall subset emitted as the full-width block and the short
+    column-1 glyphs re-attached to the region below; n_units = 1 + word
+    count. Docs filtered to <= HEIGHTS_MAX_WORDS words of <=
+    HEIGHTS_MAX_WORD_LEN chars on both engines so the geometry is fixed.
+    Reference analog: per-component crop separation of overlapping
+    components (ref: interpreter.py:133-171, :303-308)."""
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.trim(F.lower("text")), WS_CLASS + "+"),
+        lambda x: x != "",
+    )
+    d = d.filter(
+        (F.length(F.trim("text")) > 0)
+        & (F.size(toks) <= HEIGHTS_MAX_WORDS)
+        & (F.size(F.filter(toks, lambda x: F.length(x) > HEIGHTS_MAX_WORD_LEN)) == 0)
+    )
+
+    def wrap(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "text": [
+                        _pdfish_heights_payload(int(i), t)
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    wrapped = d.mapInPandas(wrap, schema="doc_id long, text string")
+    out = extract_stage(wrapped)
+    return out.select(
+        "doc_id",
+        F.replace(F.col("extracted_text"), F.lit("\n"), F.lit(" ")).alias(
+            "extracted_flat"
+        ),
+        F.col("n_units").cast("long").alias("n_units"),
+    ).orderBy("doc_id")
+
+
+EXTRACT_PDFISH_HEIGHTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(lower(text)), '{WS_CLASS}+'),
+                     t -> t <> '') AS ts
+  FROM documents WHERE length(trim(text)) > 0)
+SELECT doc_id,
+       '{" ".join(_HEIGHTS_TITLE)} ' || trim(regexp_replace(text, '{WS_CLASS}+', ' ', 'g'))
+         AS extracted_flat,
+       CAST(1 + len(ts) AS BIGINT) AS n_units
+FROM toks
+WHERE len(ts) <= {HEIGHTS_MAX_WORDS}
+  AND len(list_filter(ts, t -> length(t) > {HEIGHTS_MAX_WORD_LEN})) = 0
+ORDER BY doc_id
+"""
+
+
 def extract_html_blocks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-bookkeeping check via SQL: a two-block page (h1 + p) must yield
     exactly 2 units / 2 spans in document order, with the extracted text
