@@ -173,6 +173,55 @@ def _sign_banded_sql(src: str, id_col: str, vec: str,
     )
 
 
+# --- scale-independent oracle fragments (DuckDB) -------------------------
+# The two corpus-sized oracles (ann_lsh_sql, ann_ivf_scaled_sql) used to
+# bake the sf0.01 row count into the SQL at oracle-generation time, so the
+# oracle was only valid at the driver's fixed compare scale. These
+# fragments compute the SAME integers the Spark side derives at run time
+# (_sign_band_bits / _ivf_cell_bits over _corpus_count) INSIDE the SQL, so
+# one oracle string is exact at every scale. bit_length(m) is spelled
+# length(bin(m)) — bin() emits no leading zeros, so the length IS the bit
+# length for m >= 1, and the m = 0 case ('0', length 1) is absorbed by the
+# greatest() clamp both formulas already carry. No floating log2 anywhere:
+# log2 at exact powers of two is not trusted to round the same way across
+# engines; string length of the binary spelling is integer-exact.
+
+_SIGN_BITS_SQL = (
+    f"least({SIGN_BAND_BITS_MAX}, greatest(8,"
+    f" length(bin(greatest(n_vecs, 1) // {SIGN_BUCKET_TARGET}))))"
+)
+
+# _ivf_cell_bits(n): lg = bit_length(max(n,2)-1) = ceil(log2(n)); then
+# max(1, (lg+1)//2) — ceil(lg/2) coarse bits for ~sqrt(n) cells.
+_IVF_BITS_SQL = (
+    "greatest(1, (length(bin(greatest(n_vecs, 2) - 1)) + 1) // 2)"
+)
+
+
+def _sign_band_key_sql_dyn(col: str, band: int) -> str:
+    """Band key with the width read from a cross-joined ``bits`` column
+    (one-row params CTE) instead of unrolled at generation time: the i-th
+    of ``bits`` sign bits of dims [band*bits, (band+1)*bits) weighted 2^i.
+    Semantically identical to _sign_band_key_sql for any fixed width (the
+    parity gate compares it against Spark's unrolled _sign_band_key)."""
+    return (
+        f"CAST(list_sum(list_transform(range(0, bits), i ->"
+        f" CASE WHEN {col}[{band} * bits + i + 1] > 0"
+        f" THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))"
+        f" AS BIGINT)"
+    )
+
+
+def _sign_banded_sql_dyn(src: str, id_col: str, vec: str) -> str:
+    """Dynamic-width twin of _sign_banded_sql; ``src`` must expose a
+    ``bits`` column (CROSS JOIN params)."""
+    return " UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band,"
+        f" {_sign_band_key_sql_dyn(vec, b)} AS bkey FROM {src}"
+        for b in range(SIGN_BANDS)
+    )
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded sign-LSH ANN: candidates = (query, cand) pairs agreeing on ANY
     of the 4 sign bands (equi-join on (band, key), never a cross join);
@@ -215,30 +264,28 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_lsh_sql(n_vecs: int | None = None) -> str:
-    """DuckDB twin of ann_lsh_topk. The band width depends on the corpus
-    size; the Spark side counts its input at run time, and this oracle
-    derives the SAME count from the driver's fixed compare tables (sf0.01 —
-    the one scale the correctness gate runs at), via parquet metadata. The
-    two sides share _sign_band_bits, so the widths agree exactly."""
-    if n_vecs is None:
-        import pyarrow.parquet as pq
-
-        n_vecs = pq.ParquetFile(
-            "/root/testdata/sf0.01/embeddings.parquet"
-        ).metadata.num_rows
-    bits = _sign_band_bits(n_vecs)
+def ann_lsh_sql() -> str:
+    """DuckDB twin of ann_lsh_topk, exact at ANY scale: the band width is
+    computed inside the SQL from COUNT(*) with the same integer formula as
+    _sign_band_bits (bit_length spelled length(bin(m)) — see the fragment
+    comment above), matching the run-time _corpus_count the Spark side
+    reads from parquet footer metadata. No count is baked at oracle-gen
+    time, so the same string verifies sf0.01 and sf0.1 alike."""
     return f"""
-WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb,
-                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                        CAST(embedding AS DOUBLE[]))) AS q_norm
-           FROM embeddings WHERE vec_id < {N_QUERIES}),
+WITH params AS (SELECT {_SIGN_BITS_SQL} AS bits
+                FROM (SELECT count(*) AS n_vecs FROM embeddings)),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS q_norm,
+             bits
+      FROM embeddings CROSS JOIN params WHERE vec_id < {N_QUERIES}),
 c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS c_emb,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                   CAST(embedding AS DOUBLE[]))) AS c_norm
-      FROM embeddings WHERE vec_id >= {N_QUERIES}),
-qb AS ({_sign_banded_sql('q', 'query_id', 'q_emb', bits)}),
-cb AS ({_sign_banded_sql('c', 'cand_id', 'c_emb', bits)}),
+                                   CAST(embedding AS DOUBLE[]))) AS c_norm,
+             bits
+      FROM embeddings CROSS JOIN params WHERE vec_id >= {N_QUERIES}),
+qb AS ({_sign_banded_sql_dyn('q', 'query_id', 'q_emb')}),
+cb AS ({_sign_banded_sql_dyn('c', 'cand_id', 'c_emb')}),
 cand AS (
   SELECT DISTINCT query_id, cand_id
   FROM cb JOIN qb ON cb.band = qb.band AND cb.bkey = qb.bkey),
@@ -463,21 +510,18 @@ def ann_ivf_scaled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_ivf_scaled_sql(n_vecs: int | None = None) -> str:
-    """DuckDB twin: same _ivf_cell_bits(count) the Spark side measures,
-    derived from the driver's fixed compare tables (sf0.01) via parquet
-    metadata — see ann_lsh_sql for the convention."""
-    if n_vecs is None:
-        import pyarrow.parquet as pq
-
-        n_vecs = pq.ParquetFile(
-            "/root/testdata/sf0.01/embeddings.parquet"
-        ).metadata.num_rows
-    bits = _ivf_cell_bits(n_vecs)
-    cell = _sign_band_key_sql("v", 0, bits)
+def ann_ivf_scaled_sql() -> str:
+    """DuckDB twin of ann_ivf_scaled_topk, exact at ANY scale: the cell
+    width is computed inside the SQL from COUNT(*) with the same integer
+    formula as _ivf_cell_bits (bit_length spelled length(bin(m)) — see the
+    fragment comment above ann_lsh_sql), matching the run-time
+    _corpus_count the Spark side reads from parquet footer metadata."""
     return f"""
-WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-cells AS (SELECT vec_id, v, {cell} AS cell FROM vv),
+WITH params AS (SELECT {_IVF_BITS_SQL} AS bits
+                FROM (SELECT count(*) AS n_vecs FROM embeddings)),
+vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, bits
+       FROM embeddings CROSS JOIN params),
+cells AS (SELECT vec_id, v, {_sign_band_key_sql_dyn('v', 0)} AS cell FROM vv),
 cent_pos AS (
   SELECT cell, i - 1 AS pos, round(avg(v[i]), 6) AS cv
   FROM cells CROSS JOIN range(1, 513) t(i)
