@@ -202,8 +202,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q_revenue_by_nation": relational.q_revenue_by_nation,
         "q_topk_parts": relational.q_topk_parts,
-        "q_sessionize_events": relational.q_sessionize_events,
-        "q_running_user_value": relational.q_running_user_value,
+        # NEW r5: linear carry-forward as-of join (DuckDB native ASOF oracle);
+        # pays for its slot by demoting q_sessionize_events to the tail
+        "q_asof_join": relational.q_asof_join,
         "q17_small_qty_revenue": relational.q17_small_qty_revenue,
         # exact median: JVM production path (the pandas UDAF twin is above)
         "q_user_median": relational.q_user_median,
@@ -216,6 +217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_deterministic": textstats.doc_sample_deterministic,
         "doc_quality_filter": textstats.doc_quality_filter,
         "doc_pii_redact": textstats.doc_pii_redact,
+        # NEW r5: zero-shuffle Gopher-style repetition signals; pays for its
+        # slot by demoting q_running_user_value to the tail
+        "doc_repetition_stats": textstats.doc_repetition_stats,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "minhash_signatures": dedup.minhash_signatures,
@@ -270,6 +274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q3_shipping_priority": relational.q3_shipping_priority,
             "q_supplier_extremes": relational.q_supplier_extremes,
             "doc_top_terms": textstats.doc_top_terms,
+            "q_sessionize_events": relational.q_sessionize_events,
+            "q_running_user_value": relational.q_running_user_value,
         }
     )
     return qs
@@ -285,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": relational.Q1_SQL,
         "q_revenue_by_nation": relational.Q_REVENUE_BY_NATION_SQL,
         "q_topk_parts": relational.Q_TOPK_PARTS_SQL,
+        "q_asof_join": relational.Q_ASOF_SQL,
         "q_order_priority": relational.Q_ORDER_PRIORITY_SQL,
         "q_sessionize_events": relational.Q_SESSIONIZE_SQL,
         "q_running_user_value": relational.Q_RUNNING_SQL,
@@ -309,6 +316,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_filter": textstats.doc_quality_filter_sql(),
         "doc_top_terms": textstats.DOC_TOP_TERMS_SQL,
         "doc_pii_redact": textstats.DOC_PII_REDACT_SQL,
+        "doc_repetition_stats": textstats.DOC_REPETITION_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "minhash_signatures": dedup.minhash_signatures_sql(),
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs_sql(),

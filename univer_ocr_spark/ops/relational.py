@@ -628,3 +628,75 @@ JOIN thr USING (l_partkey)
 WHERE l_quantity < qty_thr
 GROUP BY p_brand ORDER BY p_brand
 """
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (point-in-time lookup) WITHOUT a join: for each click,
+    the latest view at-or-before it by the same user, via a tagged union
+    and ONE carry-forward window — the sort-merge shape Spark lacks as a
+    native operator.
+
+    Scale rationale (vs the join-then-rank twin ``q_nearest_event_pair``):
+    that plan materializes every (click, earlier-view) pair before rank-1
+    pruning — Θ(matches) intermediate, quadratic for a hot user. This plan
+    unions both sides (a column-tag, no shuffle), shuffles ONCE on user_id,
+    sort-merges within the partition and carries the last view forward —
+    the intermediate IS the input, so a 10^6-event mega-user costs
+    O(n log n) sort, never O(n^2) pairs. Same technique as the streaming
+    point-in-time joins in feature stores.
+
+    Tie-breaks pinned on both engines: a view at the click's exact
+    timestamp qualifies (>= semantics: views order before clicks at equal
+    ts), and among equal-ts views the max view_id wins (the oracle dedups
+    views to that row before its native ASOF JOIN — an independent
+    engine's implementation of the same operator)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        (F.col("event_type") == "click").alias("is_click"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "is_click", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_view = F.last(
+        F.when(
+            ~F.col("is_click"),
+            F.struct(F.col("us").alias("vus"), F.col("event_id").alias("view_id")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        base.withColumn("lv", last_view)
+        .filter(F.col("is_click") & F.col("lv").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("lv.view_id").alias("view_id"),
+            (F.col("us") - F.col("lv.vus")).alias("lag_usec"),
+        )
+        .orderBy("user_id", "click_id")
+    )
+
+
+# Oracle: DuckDB's NATIVE ASOF JOIN — a second engine's own implementation
+# of the operator, not a re-spelling of our window plan. Views are deduped
+# per (user_id, ts) to the max event_id first so the ASOF pick is
+# deterministic under timestamp ties.
+Q_ASOF_SQL = """
+WITH v AS (
+  SELECT user_id, epoch_us(ts) AS vus, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, epoch_us(ts)
+),
+c AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+  FROM events WHERE event_type = 'click'
+)
+SELECT c.user_id, c.click_id, v.view_id, c.cus - v.vus AS lag_usec
+FROM c ASOF JOIN v ON c.user_id = v.user_id AND c.cus >= v.vus
+ORDER BY c.user_id, c.click_id
+"""

@@ -419,3 +419,99 @@ WHERE length(trim(text)) > 0
   AND NOT regexp_matches(text, '{PII_PHONE_RE}')
 ORDER BY doc_id
 """
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, public):
+    per document, the count of the single most-frequent token and the
+    distinct-vs-total 2-gram counts — the signals a training-data pipeline
+    thresholds to drop degenerate/repetitive documents. Integer numerators
+    and denominators are emitted (fractions are a driver-side divide) so
+    the oracle hash-match is exact with no float-rounding contract.
+
+    Scale shape: ZERO shuffles — every signal is a per-row higher-order
+    function over the token array (array_sort + run-length aggregate for
+    the mode count; zip_with for 2-grams), whole-stage-codegen JVM
+    expressions end to end. The naive spelling (explode → groupBy(doc_id,
+    token) → window max) shuffles the full token stream TWICE per
+    signal; at 10^12 rows that is the difference between a map-only pass
+    and re-shuffling the corpus. Token order within a doc never crosses a
+    row boundary, so per-row HOFs are the correct distribution."""
+    d = _docs(spark, sf_dir)
+    toks = F.when(
+        F.length(F.trim("text")) == 0, F.array().cast("array<string>")
+    ).otherwise(_tokens(F.lower(F.col("text"))))
+    d = d.select("doc_id", toks.alias("toks"))
+    d = d.withColumn("sorted_toks", F.array_sort("toks"))
+    # run-length scan over the sorted array: the longest equal-run IS the
+    # mode count. Lambda touches only the accumulator and the element
+    # (plain refs — nothing re-evaluated per element).
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+    top_cnt = F.aggregate(
+        "sorted_toks",
+        zero,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    d = d.withColumn(
+        "g1", F.expr("slice(toks, 1, greatest(size(toks) - 1, 0))")
+    ).withColumn("g2", F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))"))
+    grams = F.zip_with("g1", "g2", lambda a, b: F.concat_ws(" ", a, b))
+    return (
+        d.withColumn("grams", grams)
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            top_cnt.alias("top_token_count"),
+            F.size("grams").cast("long").alias("n_2grams"),
+            F.size(F.array_distinct("grams")).cast("long").alias("n_distinct_2grams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_REPETITION_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '{WS_CLASS}+') AS arr
+  FROM documents WHERE length(trim(text)) > 0
+),
+-- parallel unnests in one SELECT zip positionally (DuckDB semantics),
+-- giving each token its ordinal (no WITH ORDINALITY in duckdb 1.0)
+t AS (
+  SELECT doc_id, unnest(arr) AS tok, unnest(range(1, len(arr) + 1)) AS i
+  FROM base
+),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
+top AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(max(c) AS BIGINT) AS top_token_count
+        FROM tc GROUP BY doc_id),
+g2 AS (SELECT doc_id,
+              tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS gram
+       FROM t),
+gc AS (SELECT doc_id, CAST(count(gram) AS BIGINT) AS n_2grams,
+              CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct_2grams
+       FROM g2 GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(top.n_tokens, 0) AS n_tokens,
+       COALESCE(top.top_token_count, 0) AS top_token_count,
+       COALESCE(gc.n_2grams, 0) AS n_2grams,
+       COALESCE(gc.n_distinct_2grams, 0) AS n_distinct_2grams
+FROM documents d
+LEFT JOIN top ON d.doc_id = top.doc_id
+LEFT JOIN gc ON d.doc_id = gc.doc_id
+ORDER BY d.doc_id
+"""
