@@ -280,34 +280,70 @@ def minhash_signatures_sql() -> str:
 
 
 def _lsh_candidates(ex: DataFrame) -> DataFrame:
-    return _lsh_candidates_from_sigs(_signatures_from(ex))
+    return _lsh_candidates_from_sigs(_packed_sigs(ex))
+
+
+def _packed_sigs(ex: DataFrame) -> DataFrame:
+    """(doc_id, sigs array<long>[K]) — the wide aggregate packed into ONE
+    array column and lineage-truncated.
+
+    Why pack: the K=255 individual sig_k columns are the right EXECUTION
+    shape for the aggregate (one codegen'd map-side-combined pass — the
+    per-element HOF alternative measured 3x slower), but they are a
+    terrible PLAN shape for everything downstream: banding structs over
+    255 column refs, two 255-column renames in the verify cascade and a
+    255-term estimate sum cost ~2.3 s of driver-side plan build/analysis
+    PER INVOCATION (measured: build+analyze 2.32 s vs execute 1.87 s for
+    the warm pairs query — Catalyst analysis is not cached across
+    actions, only Janino classes are). Packing right after the aggregate
+    turns every downstream plan into a handful of higher-order-function
+    expressions over one array column; those HOFs evaluate on candidate
+    rows only (thousands), where interpretation is irrelevant.
+
+    localCheckpoint, NOT persist(): the columnar cache allocates one
+    builder per column per in-flight batch — 256 wide × 32 tasks OOMs a
+    default-sized heap (measured: OOM-retry storms at sf0.1); the
+    row-based checkpoint stores ~2 KB/doc UnsafeRows, and the truncated
+    lineage keeps the self-join from re-analyzing the wide aggregate
+    twice."""
+    wide = _signatures_from(ex)
+    return wide.select(
+        "doc_id",
+        F.array(*[F.col(f"sig_{k}") for k in range(MINHASH_K)]).alias("sigs"),
+    ).localCheckpoint()
 
 
 def _lsh_candidates_from_sigs(sigs: DataFrame) -> DataFrame:
-    """LSH banding over signatures: docs sharing any band key are candidate
-    near-dups. The join key is the band hash — never an all-pairs cross
-    join. Callers that also need the signatures elsewhere (the verify
-    cascade) pass a persisted ``sigs`` so the one wide aggregate runs once."""
-    # bands fan out via explode (NOT a union of re-derived frames, which
-    # would recompute the shingle aggregation per band); persist so the
-    # self-join doesn't recompute the lineage twice
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
+    """LSH banding over packed signatures (doc_id, sigs array): docs
+    sharing any band key are candidate near-dups. The join key is the band
+    hash — never an all-pairs cross join. Callers that also need the
+    signatures elsewhere (the verify cascade) pass the same
+    ``_packed_sigs`` frame so the one wide aggregate runs once."""
+    # bands fan out via ONE explode(transform(...)) expression over the
+    # array (NOT 85 per-band structs, whose plan analysis dominated wall
+    # time; NOT a union of re-derived frames, which would recompute the
+    # shingle aggregation per band). Band membership is slice b*R+1..+R =
+    # sig_{bR}..sig_{bR+R-1} — identical grouping to the oracle CTE.
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
             F.md5(
                 F.encode(
                     F.concat_ws(
                         "|",
-                        *[F.col(f"sig_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)],
+                        F.transform(
+                            F.slice(F.col("sigs"), b * LSH_ROWS + 1, LSH_ROWS),
+                            lambda s: s.cast("string"),
+                        ),
                     ),
                     "UTF-8",
                 )
             ).alias("band_key"),
-        )
-        for b in range(LSH_BANDS)
-    ]
+        ),
+    )
     banded = (
-        sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
+        sigs.select("doc_id", F.explode(bands).alias("bk"))
         .select("doc_id", "bk.band", "bk.band_key")
         .persist()
     )
@@ -449,21 +485,17 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage anywhere.
     """
     ex = _exploded_shingles(spark, sf_dir).persist()
-    # localCheckpoint, NOT persist(): the columnar cache allocates one
-    # builder per column per in-flight batch — 256 wide × 32 tasks OOMs a
-    # default-sized heap (measured: OOM-retry storms at sf0.1); the
-    # row-based checkpoint stores ~2 KB/doc UnsafeRows
-    sigs = _signatures_from(ex).localCheckpoint()
+    sigs = _packed_sigs(ex)  # checkpointed array<long>[K] per doc
     cand = _lsh_candidates_from_sigs(sigs)
-    est = F.expr(_est_sum_sql(lambda k: f"a_sig_{k} = b_sig_{k}"))
-    sa = sigs.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"sig_{k}").alias(f"a_sig_{k}") for k in range(MINHASH_K)],
+    # matching-component count as one zip_with over the two packed arrays —
+    # evaluated on candidate rows only (lambda touches lambda vars only)
+    est = F.size(
+        F.filter(
+            F.zip_with("a_sigs", "b_sigs", lambda x, y: x == y), lambda m: m
+        )
     )
-    sb = sigs.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"sig_{k}").alias(f"b_sig_{k}") for k in range(MINHASH_K)],
-    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sigs").alias("a_sigs"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sigs").alias("b_sigs"))
     survivors = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -596,15 +628,18 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min doc_id of its verified-near-dup component; singletons keep their
     own id) and an is_canonical keeper flag — the one-keeper-per-cluster
     output a dedup pipeline actually consumes."""
-    pairs = lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # checkpoint the PAIRS before the symmetrizing union: the union's two
+    # branches otherwise each contain the full verify pipeline past the
+    # signature checkpoint (cand join + sketch filter + exact verify) and
+    # execute it twice (measured: 17.2 s -> ~9 s at sf0.1). The union and
+    # seed derivation downstream are then trivial re-reads of checkpointed
+    # rows; _min_label_cc re-checkpoints edges internally for the loop.
+    pairs = lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).localCheckpoint()
-    # ^ checkpoint BEFORE deriving the seed set: both the seed and the CC
-    # loop consume edges, and without the barrier each would re-run the
-    # whole LSH+verify pipeline (measured 2x on the bench)
+    )
     # seed the iteration with edge-touched docs ONLY: singletons (the large
     # majority of a real corpus) never change label, so shuffling them every
     # round is pure waste — they join back once at the end
