@@ -72,10 +72,12 @@ def main() -> None:
         "q_events_within_hour (bucketed containment join)": relational.q_events_within_hour(spark, sf_dir),
         "q17_small_qty_revenue (decorrelated scalar subquery)": relational.q17_small_qty_revenue(spark, sf_dir),
         "doc_top_terms (tf-idf: two aggs + vocab join + rank)": textstats.doc_top_terms(spark, sf_dir),
+        "q_asof_join (linear union+carry-forward, no range join)": relational.q_asof_join(spark, sf_dir),
+        "doc_repetition_stats (zero-shuffle HOF aggregates)": textstats.doc_repetition_stats(spark, sf_dir),
     }
 
     preamble = """
-## Bucket cardinality as a function of corpus size (r4)
+## Bucket cardinality as a function of corpus size (r5)
 
 Every near-dup/ANN candidate join is an equi-join on a bucket key; the
 within-bucket work is quadratic in bucket occupancy, so key entropy is the
@@ -83,7 +85,7 @@ scale contract. Where each path stands at corpus size n:
 
 | path | bucket key | distinct keys | occupancy at n |
 |---|---|---|---|
-| minhash_lsh_pairs | md5 of 2 sigs per band, 25 bands (r4: derived from JACCARD_THRESHOLD; r3's 2x4 had s*~0.84) | ~min(n, 2^128) (hash of signature pair) | ~1 per identical-pair group; candidate volume ~ n^2 * P(J) with P(0.025)~0.015 (r=1 was 0.18) |
+| minhash_lsh_pairs | md5 of 3 sigs per band, 85 bands (r5: 256-permutation budget steepens the derived S-curve to r=3/b=85; r4's r=2 admitted P(J=0.025)~0.015 of ALL pairs) | ~min(n, 2^128) (hash of signature triple) | ~1 per identical-pair group; candidate volume ~ n^2 * P(J) with P(0.025)~1.3e-3 (12x down vs r4) |
 | simhash_neardup_pairs | 16-bit band value x 4 bands | 2^16 per band (r2: 2^8) | n / 65536 per band |
 | simhash_neardup_pairs_wide | 16-bit band value x (width/16) bands, width in {96,128} (r4, pytest-pinned) | 2^16 per band | n / 65536 per band, more bands = bigger Hamming budget |
 | ann_lsh_topk / embedding_cosine_neardup | sign pattern of b dims per band | 2^b, b = _sign_band_bits(n) in [8,16] | ~SIGN_BUCKET_TARGET by construction |
@@ -95,6 +97,17 @@ Raising scale further: SimHash widens to 96/128-bit signatures
 (`simhash_*_wide`, tested at 96); sign-LSH raises SIGN_BAND_BITS_MAX with
 embedding dim; IVF tracks sqrt(n) automatically. Corpus counts for index
 sizing come from parquet footer metadata (`_corpus_count`), not scans.
+
+r5 driver-side contract: the 255-permutation signature stays ONE wide
+map-side-combined aggregate for execution, but is packed into a single
+array<long> column behind a localCheckpoint (`dedup._packed_sigs`) so
+every downstream plan is a few higher-order-function expressions —
+Catalyst re-runs ANALYSIS per invocation and a 255-column plan costs
+~2.3s of driver time per query (LSH trio walls 11/13/21s -> 4.1/6.5/10s).
+`neardup_clusters` additionally checkpoints the verified pairs BEFORE the
+src/dst symmetrizing union (both branches would otherwise re-execute the
+whole verify lineage) and folds the CC convergence count into the jump
+pass (one job per round).
 """
 
     out = [
