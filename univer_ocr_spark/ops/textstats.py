@@ -429,11 +429,14 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and denominators are emitted (fractions are a driver-side divide) so
     the oracle hash-match is exact with no float-rounding contract.
 
-    Scale shape: ZERO shuffles — every signal is a per-row higher-order
-    function over the token array (array_sort + run-length aggregate for
-    the mode count; zip_with for 2-grams), whole-stage-codegen JVM
-    expressions end to end. The naive spelling (explode → groupBy(doc_id,
-    token) → window max) shuffles the full token stream TWICE per
+    Scale shape: ZERO shuffles in the signal computation — every signal
+    is a per-row higher-order function over the token array (array_sort +
+    run-length aggregate for the mode count; zip_with for 2-grams),
+    whole-stage-codegen JVM expressions end to end; the only Exchange in
+    the plan is the trailing presentation orderBy (deterministic-output
+    contract O5), which a filtering pipeline would drop. The naive
+    spelling (explode → groupBy(doc_id, token) → window max) shuffles
+    the full token stream TWICE per
     signal; at 10^12 rows that is the difference between a map-only pass
     and re-shuffling the corpus. Token order within a doc never crosses a
     row boundary, so per-row HOFs are the correct distribution."""
