@@ -177,21 +177,29 @@ _SHINGLES_SQL = f"""
 """
 
 
-def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _exploded_shingles(spark: SparkSession, sf_dir: str,
+                       distinct: bool = True) -> DataFrame:
     # documents at test scale is one small parquet file = one partition; the
     # shingle explode + hashing is CPU-heavy, so spread it across cores
-    # first (tiny shuffle; at 100 TB inputs are already many files)
+    # first (tiny shuffle; at 100 TB inputs are already many files).
+    #
+    # ``distinct`` (r6): paths that consume shingles as a SET (Jaccard sizes,
+    # SimHash bit votes) need the dedup; the MinHash signature path does NOT
+    # (min over duplicates is identical), so it passes distinct=False and
+    # skips the full-corpus (doc_id, shingle) shuffle outright. Catalyst's
+    # RemoveRedundantAggregates already elides the distinct when the min
+    # aggregate sits directly on top of it, but a persist()/checkpoint
+    # boundary between them (the verified-pairs pipeline) defeats the rule —
+    # the explicit flag makes the plan shape independent of that.
     d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     toked = d.select(
         "doc_id", F.split(_norm(F.col("text")), " ").alias("toks")
     )
-    return (
-        toked.select(
-            "doc_id",
-            F.explode(_word_shingles_from_toks(F.col("toks"))).alias("shingle"),
-        )
-        .distinct()
+    ex = toked.select(
+        "doc_id",
+        F.explode(_word_shingles_from_toks(F.col("toks"))).alias("shingle"),
     )
+    return ex.distinct() if distinct else ex
 
 
 # Permutation family: ONE md5 per shingle → a 60-bit h1 and a 60-bit h2
@@ -260,9 +268,14 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature per doc: sig_k = min over shingles of
     (h1 + k*h2) mod 2^61-1 with (h1, h2) split from one md5 — a portable
     permutation family (see _perm_expr for the overflow-free evaluation).
-    One shuffle (groupBy doc_id over exploded distinct shingles), map-side
-    combined; the K mins are one wide aggregate, not K passes."""
-    return _signatures_from(_exploded_shingles(spark, sf_dir)).orderBy("doc_id")
+    One shuffle (groupBy doc_id over exploded shingles), map-side combined;
+    the K mins are one wide aggregate, not K passes. distinct=False: min is
+    duplicate-insensitive, so the raw explode feeds the aggregate directly
+    (no full-corpus (doc_id, shingle) distinct shuffle; the oracle's
+    SELECT DISTINCT yields identical mins)."""
+    return _signatures_from(
+        _exploded_shingles(spark, sf_dir, distinct=False)
+    ).orderBy("doc_id")
 
 
 def minhash_signatures_sql() -> str:
@@ -313,60 +326,80 @@ def _packed_sigs(ex: DataFrame) -> DataFrame:
     ).localCheckpoint()
 
 
-def _lsh_candidates_from_sigs(sigs: DataFrame) -> DataFrame:
+def _lsh_candidates_from_sigs(sigs: DataFrame, distinct: bool = True) -> DataFrame:
     """LSH banding over packed signatures (doc_id, sigs array): docs
     sharing any band key are candidate near-dups. The join key is the band
     hash — never an all-pairs cross join. Callers that also need the
     signatures elsewhere (the verify cascade) pass the same
-    ``_packed_sigs`` frame so the one wide aggregate runs once."""
+    ``_packed_sigs`` frame so the one wide aggregate runs once.
+
+    ``distinct`` (r6): a pair sharing several bands appears once per band;
+    the declared candidate-pair output needs the dedup, but the verify
+    cascade filters each copy identically and dedups AFTER its sketch
+    filter — on ~36k rows instead of ~9.25M at sf1.0 — so it passes
+    distinct=False here."""
     # bands fan out via ONE explode(transform(...)) expression over the
     # array (NOT 85 per-band structs, whose plan analysis dominated wall
     # time; NOT a union of re-derived frames, which would recompute the
     # shingle aggregation per band). Band membership is slice b*R+1..+R =
     # sig_{bR}..sig_{bR+R-1} — identical grouping to the oracle CTE.
+    #
+    # r6: the band key is the raw 3-long slice itself, joined as an array
+    # column — equality of slices is EXACTLY the equality the oracle's
+    # md5(concat) key encodes (md5 is injective on these inputs in
+    # practice; '|'-separated decimal renderings collide iff the slices
+    # are equal), so candidate pairs are identical while the n·85 md5
+    # string computations and the string-key shuffle bytes disappear.
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
         lambda b: F.struct(
             b.alias("band"),
-            F.md5(
-                F.encode(
-                    F.concat_ws(
-                        "|",
-                        F.transform(
-                            F.slice(F.col("sigs"), b * LSH_ROWS + 1, LSH_ROWS),
-                            lambda s: s.cast("string"),
-                        ),
-                    ),
-                    "UTF-8",
-                )
-            ).alias("band_key"),
+            F.slice(F.col("sigs"), b * LSH_ROWS + 1, LSH_ROWS).alias("band_key"),
         ),
     )
-    banded = (
-        sigs.select("doc_id", F.explode(bands).alias("bk"))
-        .select("doc_id", "bk.band", "bk.band_key")
-        .persist()
+    banded = sigs.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", "bk.band", "bk.band_key"
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
-        )
-        .distinct()
+    # r6: pairs come from ONE groupBy over (band, band_key) + per-bucket
+    # combination generation, not a self-join — the banded stream crosses
+    # the network once instead of twice (measured 6.9s -> 2.9s at sf1.0).
+    # array_sort makes the bucket's id list strictly increasing, so emitting
+    # (ids[i-1], x) for x in ids[i+1:] reproduces the join's doc_a < doc_b
+    # pairs exactly, one row per shared band — same multiset as the
+    # self-join emitted. Every lambda sub-expression is O(1) over plain
+    # column refs (size/get on the materialized ids array — nothing
+    # re-evaluated per element). A pathological all-identical mega-bucket
+    # concentrates on one task either way (the join keyed the same bucket
+    # to one partition too); its quadratic OUTPUT, not this plan, is the
+    # scale limit, and the sub-threshold S-curve keeps buckets small.
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ids") - 1),
+                    lambda i: F.transform(
+                        F.slice(F.col("ids"), i + 1, F.size("ids")),
+                        lambda x: F.struct(
+                            F.get(F.col("ids"), i - 1).alias("doc_a"),
+                            x.alias("doc_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return pairs.distinct() if distinct else pairs
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _lsh_candidates(_exploded_shingles(spark, sf_dir)).orderBy(
-        "doc_a", "doc_b"
-    )
+    return _lsh_candidates(
+        _exploded_shingles(spark, sf_dir, distinct=False)
+    ).orderBy("doc_a", "doc_b")
 
 
 def _lsh_cte_sql() -> str:
@@ -471,24 +504,54 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-Jaccard verification of MinHash-LSH candidates, with a
     signature-estimate cascade between them.
 
-    Plan shape at 100 TB: one shingle explode (reused for signatures AND
-    verification via persist), band-key equi-join for candidates, then a
-    SKETCH PREFILTER — candidates join the signature table twice and
-    survive only if ≥ MIN_EST_MATCHES of their K signature components
-    agree (an integer compare on ~2 KB/doc already computed for banding;
-    see _min_est_matches for the 4σ bound) — and only the survivors pay
-    the exact shared-shingle join. The honest threshold-derived banding
-    admits the corpus's J≈0.1 background pairs at the shallow end of the
-    S-curve (measured 95k candidates at sf0.1); the cascade rejects them
-    at Θ(candidates × K longs) instead of Θ(candidates × shingles) —
-    the standard LSH → sketch-verify → exact-verify shape. No all-pairs
-    stage anywhere.
+    Plan shape at 100 TB (r6 restructure): signatures from the RAW shingle
+    explode (no distinct — min is duplicate-insensitive), band-key
+    equi-join for candidates, then the SKETCH PREFILTER in two stages:
+
+    1. COMPRESSED pass over all candidates: each 60-bit component reduced
+       to 16 bits (s mod 2^16). Equal components stay equal, so the
+       compressed match count upper-bounds the true one and
+       {est ≥ T} ⊆ {est_c ≥ T}: filtering on the compressed count keeps a
+       provable superset while the Θ(candidates) joins attach ~510 B per
+       side instead of ~2 KB (the candidate volume is Θ(n²·P) — 9.25M
+       pairs at sf1.0 — so the attached bytes ARE the stage's cost; 4×
+       fewer of them). A false pass needs a 16-bit collision in ≥ one
+       component (Binomial(K, 2⁻¹⁶) — ~0.4% of candidates), so stage 2
+       sees essentially the true survivor set.
+    2. EXACT pass: the full 60-bit component count (the declared cascade
+       semantics, ≥ MIN_EST_MATCHES of K — see _min_est_matches for the
+       4σ bound) on the tiny stage-1 output only.
+
+    The exact shared-shingle verify then runs on SURVIVING DOCS ONLY: a
+    broadcast semi-join pushes the doc filter BELOW the re-shingle explode
+    (guide-§8 shape: decide on small rows, touch heavy rows once), so the
+    shingle-set sizes and the shared-shingle join see a few hundred docs
+    instead of the full corpus — the r5 shape shuffled the entire distinct
+    (doc_id, shingle) stream twice plus a full-corpus sizes aggregate to
+    verify ~36k pairs. Survivor-restricted inner joins make the outputs
+    row-identical. No all-pairs stage anywhere.
     """
-    ex = _exploded_shingles(spark, sf_dir).persist()
-    sigs = _packed_sigs(ex)  # checkpointed array<long>[K] per doc
-    cand = _lsh_candidates_from_sigs(sigs)
-    # matching-component count as one zip_with over the two packed arrays —
-    # evaluated on candidate rows only (lambda touches lambda vars only)
+    sigs = _packed_sigs(_exploded_shingles(spark, sf_dir, distinct=False))
+    cand = _lsh_candidates_from_sigs(sigs, distinct=False)
+    # stage 1: compressed components (the -32768 shift keeps the smallint
+    # cast in range under ANSI; the shift is a bijection so equality is
+    # preserved). Derived per use from the checkpointed sigs — one HOF
+    # over n rows, no extra materialization.
+    csig = F.transform("sigs", lambda s: ((s % 65536) - 32768).cast("smallint"))
+    csigs = sigs.select("doc_id", csig.alias("cs"))
+    ca = csigs.select(F.col("doc_id").alias("doc_a"), F.col("cs").alias("a_cs"))
+    cb = csigs.select(F.col("doc_id").alias("doc_b"), F.col("cs").alias("b_cs"))
+    est_c = F.size(
+        F.filter(F.zip_with("a_cs", "b_cs", lambda x, y: x == y), lambda m: m)
+    )
+    pre = (
+        cand.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(est_c >= MIN_EST_MATCHES)
+        .select("doc_a", "doc_b")
+    )
+    # stage 2: exact matching-component count as one zip_with over the two
+    # packed arrays — evaluated on stage-1 survivors only
     est = F.size(
         F.filter(
             F.zip_with("a_sigs", "b_sigs", lambda x, y: x == y), lambda m: m
@@ -497,10 +560,30 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sigs").alias("a_sigs"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sigs").alias("b_sigs"))
     survivors = (
-        cand.join(sa, "doc_a")
+        pre.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(est >= MIN_EST_MATCHES)
         .select("doc_a", "doc_b")
+        .distinct()  # multi-band candidate copies collapse HERE (tiny)
+        .localCheckpoint()  # reused by surv_docs AND the shared join
+    )
+    # exact verify on surviving docs only: re-shingle just those documents
+    # (the explode of a few hundred docs is far cheaper than persisting and
+    # re-shuffling the full corpus stream); inner joins on doc_a/doc_b mean
+    # only surviving docs' shingle sets can influence the output
+    surv_docs = (
+        survivors.select(F.col("doc_a").alias("doc_id"))
+        .union(survivors.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    d = _docs(spark, sf_dir).join(F.broadcast(surv_docs), "doc_id", "left_semi")
+    toked = d.select("doc_id", F.split(_norm(F.col("text")), " ").alias("toks"))
+    ex = (
+        toked.select(
+            "doc_id",
+            F.explode(_word_shingles_from_toks(F.col("toks"))).alias("shingle"),
+        )
+        .distinct()
     )
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = ex.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -36,6 +36,18 @@ def get_spark(master: str | None = None, app_name: str = "univer_ocr_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r6: 10 MB default is too timid for per-doc sketch/dimension tables
+        # (e.g. the 255-component compressed MinHash sketch, ~25 MB at sf1.0)
+        # whose broadcast keeps the Θ(n²·P) candidate stream unshuffled.
+        # 64 MB is safe on any real executor (and the 8 GB local driver);
+        # tables that outgrow it at larger corpus sizes fall back to
+        # sort-merge automatically — the threshold is a cap, not a bet on n.
+        # Applies to AQE's runtime conversion too (adaptive threshold
+        # defaults to this value). Override via SPARK_GRAFT_BROADCAST_MB.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_BROADCAST_MB", "64") + "m",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # payloads are KB-scale strings: cap Arrow batches so a batch of
