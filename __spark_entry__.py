@@ -198,27 +198,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_markup_collapse_docs": _with_pkg(extract_docs.extract_markup_collapse_docs),
         "multimodal_features": _with_pkg(multimodal.multimodal_features),
         "q_user_median_pandas": _with_pkg(relational.q_user_median_pandas),
-        # --- relational operator inventory (SURVEY.md §2.3-2.5 analogs) ---
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "q_revenue_by_nation": relational.q_revenue_by_nation,
-        "q_topk_parts": relational.q_topk_parts,
-        # NEW r5: linear carry-forward as-of join (DuckDB native ASOF oracle);
-        # pays for its slot by demoting q_sessionize_events to the tail
+        # --- r6 rotation (CLAUDE.md policy): the 13 queries that sat in the
+        # r5 tail (driver-green r4, NOT gated r5) swap back inside the first
+        # 50; the 13 rows green in BOTH r4 and r5 (the doc_* block + five
+        # relational rows) pay for the slots by rotating to the tail.
+        "q_order_priority": relational.q_order_priority,
+        "q_nearest_event_pair": relational.q_nearest_event_pair,
+        "q_monthly_revenue": relational.q_monthly_revenue,
+        "q_set_ops": relational.q_set_ops,
+        "q_pivot_returnflag": relational.q_pivot_returnflag,
+        "q_rollup_counts": relational.q_rollup_counts,
+        "q_events_within_hour": relational.q_events_within_hour,
+        "q_acctbal_histogram": relational.q_acctbal_histogram,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q_supplier_extremes": relational.q_supplier_extremes,
+        "doc_top_terms": textstats.doc_top_terms,
+        "q_sessionize_events": relational.q_sessionize_events,
+        "q_running_user_value": relational.q_running_user_value,
+        # r5-only-green rows stay gated (their single driver row is r5)
         "q_asof_join": relational.q_asof_join,
-        "q17_small_qty_revenue": relational.q17_small_qty_revenue,
-        # exact median: JVM production path (the pandas UDAF twin is above)
-        "q_user_median": relational.q_user_median,
-        # text analysis (training-data pipeline ops)
-        "doc_token_stats": textstats.doc_token_stats,
-        "doc_lang_heuristic": textstats.doc_lang_heuristic,
-        "doc_quality_score": textstats.doc_quality_score,
-        "doc_fingerprint": textstats.doc_fingerprint,
-        "doc_ngram_mode": textstats.doc_ngram_mode,
-        "doc_sample_deterministic": textstats.doc_sample_deterministic,
-        "doc_quality_filter": textstats.doc_quality_filter,
-        "doc_pii_redact": textstats.doc_pii_redact,
-        # NEW r5: zero-shuffle Gopher-style repetition signals; pays for its
-        # slot by demoting q_running_user_value to the tail
         "doc_repetition_stats": textstats.doc_repetition_stats,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
@@ -258,24 +256,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "extract_html_blocks_docs": _with_pkg(extract_docs.extract_html_blocks_docs),
         }
     )
-    # --- TAIL: repeatedly driver-green rows (green in BOTH r3 and r4)
-    # rotated past position 50 to make room above; rotate back per the
-    # CLAUDE.md policy so no query goes >2 rounds without a driver row.
+    # --- TAIL (r6): rows driver-green in BOTH r4 and r5, rotated past
+    # position 50 to make room for the returning r5 tail above; rotate back
+    # in r7 per the CLAUDE.md policy so no query goes >2 rounds without a
+    # driver row.
     qs.update(
         {
-            "q_order_priority": relational.q_order_priority,
-            "q_nearest_event_pair": relational.q_nearest_event_pair,
-            "q_monthly_revenue": relational.q_monthly_revenue,
-            "q_set_ops": relational.q_set_ops,
-            "q_pivot_returnflag": relational.q_pivot_returnflag,
-            "q_rollup_counts": relational.q_rollup_counts,
-            "q_events_within_hour": relational.q_events_within_hour,
-            "q_acctbal_histogram": relational.q_acctbal_histogram,
-            "q3_shipping_priority": relational.q3_shipping_priority,
-            "q_supplier_extremes": relational.q_supplier_extremes,
-            "doc_top_terms": textstats.doc_top_terms,
-            "q_sessionize_events": relational.q_sessionize_events,
-            "q_running_user_value": relational.q_running_user_value,
+            "q1_pricing_summary": relational.q1_pricing_summary,
+            "q_revenue_by_nation": relational.q_revenue_by_nation,
+            "q_topk_parts": relational.q_topk_parts,
+            "q17_small_qty_revenue": relational.q17_small_qty_revenue,
+            # exact median: JVM production twin of q_user_median_pandas
+            "q_user_median": relational.q_user_median,
+            "doc_token_stats": textstats.doc_token_stats,
+            "doc_lang_heuristic": textstats.doc_lang_heuristic,
+            "doc_quality_score": textstats.doc_quality_score,
+            "doc_fingerprint": textstats.doc_fingerprint,
+            "doc_ngram_mode": textstats.doc_ngram_mode,
+            "doc_sample_deterministic": textstats.doc_sample_deterministic,
+            "doc_quality_filter": textstats.doc_quality_filter,
+            "doc_pii_redact": textstats.doc_pii_redact,
         }
     )
     return qs
