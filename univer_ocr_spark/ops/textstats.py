@@ -243,10 +243,14 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     versions, which would break cross-engine hash parity at rounding
     boundaries).
 
-    Scale shape: two map-side-combined aggregates (tf per (doc, term), df
-    per term), one vocabulary-sized join back on term (AQE picks the
-    strategy), a broadcast 1-row corpus count, and a per-doc rank window —
-    no all-pairs stage, no driver-side vocabulary.
+    Scale shape (r6): ONE map-side-combined tf aggregate per (doc, term);
+    the document frequency is a count window over the term partition of
+    that same frame — the r5 tf⋈dfc self-join re-executed the token
+    explode and the tf aggregate in BOTH subtrees (two full passes over
+    the token stream; visible as two Generate+HashAggregate chains in the
+    plan). A broadcast 1-row corpus count and a per-doc rank window
+    finish it — no all-pairs stage, no driver-side vocabulary. The term
+    window has the same hot-term skew profile the join on term had.
     """
     from pyspark.sql import Window as W
 
@@ -256,11 +260,11 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("term") != ""
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    wd = W.partitionBy("term")
     w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (
-        tf.join(dfc, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(wd))
         .crossJoin(F.broadcast(n))
         .withColumn(
             "score",
