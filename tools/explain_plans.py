@@ -108,6 +108,20 @@ Catalyst re-runs ANALYSIS per invocation and a 255-column plan costs
 src/dst symmetrizing union (both branches would otherwise re-execute the
 whole verify lineage) and folds the CC convergence count into the jump
 pass (one job per round).
+
+r6 (OPTIMIZATION_r06.md; plans/r06/ holds the before/after evidence):
+shared-key pair generation (LSH candidates AND ngram shared counts) is one
+groupBy(bucket key) + array_sort(collect_list) + combination explode — the
+banded/shingle stream crosses the network ONCE, not twice as in the former
+self-join; the band key is the raw 3-long signature slice (array equi-join,
+no md5). lsh_verified_pairs filters candidates through a TWO-stage sketch
+cascade (16-bit compressed components over all ~9.25M candidate rows — a
+provable superset filter at 1/4 the attached bytes — then the exact 60-bit
+count on its ~36k-row output) and re-shingles ONLY surviving docs behind a
+broadcast LeftSemi join instead of re-shuffling the full corpus stream.
+doc_top_terms derives df from a term-window over the single tf frame (one
+token explode, was two). The extraction stage emits spans as raw positional
+tuples (no per-span dict).
 """
 
     out = [

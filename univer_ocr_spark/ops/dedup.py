@@ -455,12 +455,35 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex = ex_all.join(frequent, "shingle", "left_anti").persist()
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    l = ex.alias("l")
-    r = ex.alias("r")
-    shared = (
-        l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.doc_id") < F.col("r.doc_id")))
-        .groupBy(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+    # r6: shared counts via ONE groupBy(shingle) + per-bucket combination
+    # explode instead of the shingle self-join — the discriminative-shingle
+    # stream crosses the network once, not twice (same rewrite as the LSH
+    # candidate generation; per-bucket emission is bounded by the df ≤ 64
+    # stop-shingle cutoff, so a bucket emits ≤ C(64,2) pairs). array_sort
+    # reproduces the join's doc_a < doc_b convention exactly.
+    buckets = (
+        ex.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_rows = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ids") - 1),
+                    lambda i: F.transform(
+                        F.slice(F.col("ids"), i + 1, F.size("ids")),
+                        lambda x: F.struct(
+                            F.get(F.col("ids"), i - 1).alias("doc_a"),
+                            x.alias("doc_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    shared = pair_rows.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("shared")
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
