@@ -62,16 +62,16 @@ def main() -> None:
         "q_revenue_by_nation (broadcast dims)": relational.q_revenue_by_nation(spark, sf_dir),
         "q_topk_parts": relational.q_topk_parts(spark, sf_dir),
         "ann_bruteforce_topk (broadcast queries)": similarity.ann_bruteforce_topk(spark, sf_dir),
-        "minhash_lsh_pairs (band-key join)": dedup.minhash_lsh_pairs(spark, sf_dir),
-        "lsh_verified_pairs (verify only candidates)": dedup.lsh_verified_pairs(spark, sf_dir),
+        "minhash_lsh_pairs (bucket pair generation)": dedup.minhash_lsh_pairs(spark, sf_dir),
+        "lsh_verified_pairs (2-stage sketch cascade, survivor-only verify)": dedup.lsh_verified_pairs(spark, sf_dir),
         "ann_ivf_topk (centroid cell probe)": similarity.ann_ivf_topk(spark, sf_dir),
         "ann_ivf_scaled_topk (sqrt(n) cells)": similarity.ann_ivf_scaled_topk(spark, sf_dir),
         "ann_lsh_topk (banded sign-LSH)": similarity.ann_lsh_topk(spark, sf_dir),
         "simhash_neardup_pairs (16-bit banded Hamming)": dedup.simhash_neardup_pairs(spark, sf_dir),
-        "ngram_jaccard_pairs (AQE-chosen stop-shingle anti-join)": dedup.ngram_jaccard_pairs(spark, sf_dir),
+        "ngram_jaccard_pairs (stop-shingle anti-join + bucket pairs)": dedup.ngram_jaccard_pairs(spark, sf_dir),
         "q_events_within_hour (bucketed containment join)": relational.q_events_within_hour(spark, sf_dir),
         "q17_small_qty_revenue (decorrelated scalar subquery)": relational.q17_small_qty_revenue(spark, sf_dir),
-        "doc_top_terms (tf-idf: two aggs + vocab join + rank)": textstats.doc_top_terms(spark, sf_dir),
+        "doc_top_terms (tf-idf: one tf agg + term-window df + rank)": textstats.doc_top_terms(spark, sf_dir),
         "q_asof_join (linear union+carry-forward, no range join)": relational.q_asof_join(spark, sf_dir),
         "doc_repetition_stats (zero-shuffle HOF aggregates)": textstats.doc_repetition_stats(spark, sf_dir),
     }
