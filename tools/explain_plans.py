@@ -85,7 +85,7 @@ scale contract. Where each path stands at corpus size n:
 
 | path | bucket key | distinct keys | occupancy at n |
 |---|---|---|---|
-| minhash_lsh_pairs | md5 of 3 sigs per band, 85 bands (r5: 256-permutation budget steepens the derived S-curve to r=3/b=85; r4's r=2 admitted P(J=0.025)~0.015 of ALL pairs) | ~min(n, 2^128) (hash of signature triple) | ~1 per identical-pair group; candidate volume ~ n^2 * P(J) with P(0.025)~1.3e-3 (12x down vs r4) |
+| minhash_lsh_pairs | raw 3-long signature slice per band, 85 bands (r6: no md5 — array group key, same equality classes; r5: 256-permutation budget steepens the derived S-curve to r=3/b=85) | ~min(n, 2^180) (signature triple) | ~1 per identical-pair group; candidate volume ~ n^2 * P(J) with P(0.025)~1.3e-3 (12x down vs r4) |
 | simhash_neardup_pairs | 16-bit band value x 4 bands | 2^16 per band (r2: 2^8) | n / 65536 per band |
 | simhash_neardup_pairs_wide | 16-bit band value x (width/16) bands, width in {96,128} (r4, pytest-pinned) | 2^16 per band | n / 65536 per band, more bands = bigger Hamming budget |
 | ann_lsh_topk / embedding_cosine_neardup | sign pattern of b dims per band | 2^b, b = _sign_band_bits(n) in [8,16] | ~SIGN_BUCKET_TARGET by construction |
