@@ -1,8 +1,8 @@
 """Focused invariants for the r6 performance restructures (OPTIMIZATION_r06.md):
 
-1. The 16-bit compressed sketch prefilter admits a SUPERSET of the exact
+1. The 8-bit compressed sketch prefilter admits a SUPERSET of the exact
    >= MIN_EST_MATCHES survivors (equal 60-bit components stay equal mod
-   2^16), and the two-stage cascade's final survivor set EQUALS the
+   2^8), and the two-stage cascade's final survivor set EQUALS the
    single-stage exact filter's set — the property that makes the cheap
    stage-1 pass semantics-free.
 2. Bucket pair generation (groupBy key + array_sort(collect_list) +
@@ -24,7 +24,7 @@ def _survivor_sets(spark):
         dedup._exploded_shingles(spark, SF_DIR, distinct=False)
     )
     cand = dedup._lsh_candidates_from_sigs(sigs, distinct=False)
-    csig = F.transform("sigs", lambda s: ((s % 65536) - 32768).cast("smallint"))
+    csig = F.transform("sigs", lambda s: ((s % 256) - 128).cast("tinyint"))
     csigs = sigs.select("doc_id", csig.alias("cs"))
     ca = csigs.select(F.col("doc_id").alias("doc_a"), F.col("cs").alias("a_cs"))
     cb = csigs.select(F.col("doc_id").alias("doc_b"), F.col("cs").alias("b_cs"))

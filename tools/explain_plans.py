@@ -115,8 +115,8 @@ groupBy(bucket key) + array_sort(collect_list) + combination explode — the
 banded/shingle stream crosses the network ONCE, not twice as in the former
 self-join; the band key is the raw 3-long signature slice (array equi-join,
 no md5). lsh_verified_pairs filters candidates through a TWO-stage sketch
-cascade (16-bit compressed components over all ~9.25M candidate rows — a
-provable superset filter at 1/4 the attached bytes — then the exact 60-bit
+cascade (8-bit compressed components over all ~9.25M candidate rows — a
+provable superset filter at 1/8 the attached bytes — then the exact 60-bit
 count on its ~36k-row output) and re-shingles ONLY surviving docs behind a
 broadcast LeftSemi join instead of re-shuffling the full corpus stream.
 doc_top_terms derives df from a term-window over the single tf frame (one

@@ -532,15 +532,17 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join for candidates, then the SKETCH PREFILTER in two stages:
 
     1. COMPRESSED pass over all candidates: each 60-bit component reduced
-       to 16 bits (s mod 2^16). Equal components stay equal, so the
+       to 8 bits (s mod 2^8). Equal components stay equal, so the
        compressed match count upper-bounds the true one and
        {est ≥ T} ⊆ {est_c ≥ T}: filtering on the compressed count keeps a
-       provable superset while the Θ(candidates) joins attach ~510 B per
+       provable superset while the Θ(candidates) joins attach ~255 B per
        side instead of ~2 KB (the candidate volume is Θ(n²·P) — 9.25M
-       pairs at sf1.0 — so the attached bytes ARE the stage's cost; 4×
-       fewer of them). A false pass needs a 16-bit collision in ≥ one
-       component (Binomial(K, 2⁻¹⁶) — ~0.4% of candidates), so stage 2
-       sees essentially the true survivor set.
+       pairs at sf1.0 — so the attached bytes ARE the stage's cost; 8×
+       fewer of them). 8-bit collisions inflate stage 2's input only
+       ~4.7% over the 16-bit variant at sf1.0 (measured 249k vs 238k
+       multiset rows) while running ~20% faster (6.1 vs 7.8s same-window
+       A/B) — both stage-2 inputs are trivial next to the 9.6M pair
+       stream, so the cheaper lanes win.
     2. EXACT pass: the full 60-bit component count (the declared cascade
        semantics, ≥ MIN_EST_MATCHES of K — see _min_est_matches for the
        4σ bound) on the tiny stage-1 output only.
@@ -556,11 +558,11 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sigs = _packed_sigs(_exploded_shingles(spark, sf_dir, distinct=False))
     cand = _lsh_candidates_from_sigs(sigs, distinct=False)
-    # stage 1: compressed components (the -32768 shift keeps the smallint
+    # stage 1: compressed components (the -128 shift keeps the tinyint
     # cast in range under ANSI; the shift is a bijection so equality is
     # preserved). Derived per use from the checkpointed sigs — one HOF
     # over n rows, no extra materialization.
-    csig = F.transform("sigs", lambda s: ((s % 65536) - 32768).cast("smallint"))
+    csig = F.transform("sigs", lambda s: ((s % 256) - 128).cast("tinyint"))
     csigs = sigs.select("doc_id", csig.alias("cs"))
     ca = csigs.select(F.col("doc_id").alias("doc_a"), F.col("cs").alias("a_cs"))
     cb = csigs.select(F.col("doc_id").alias("doc_b"), F.col("cs").alias("b_cs"))
